@@ -1,0 +1,165 @@
+"""SSE diagonal (Metropolis) and heat-bath updates.
+
+Reference semantics (``src/sse/qmc_traits/diagonal.rs:84-191``, Sandvik
+PRB 59 14157 eqs. 19a/19b via arXiv:1909.10591):
+
+Sweep imaginary-time slots ``p = 0..M`` carrying the propagated state and the
+op count ``n``:
+
+- identity slot: draw a bond ``b`` uniformly; insert a diagonal op with
+  probability ``min(1, beta NB <s|H_b|s> / (M - n))``.
+- diagonal op: remove with probability ``min(1, (M - n + 1) / (beta NB W))``.
+- off-diagonal op: propagate the state through its outputs.
+
+Heat-bath variant (``src/sse/qmc_traits/heatbath.rs:148-209``): insert with
+probability ``bW_tot / (M - n + bW_tot)`` where ``bW_tot = beta * sum_b
+max_w(b)``; pick the bond from the max-weight distribution (cumulative table +
+searchsorted) and accept ``u * max_w(b) < W``; remove any diagonal op with
+probability ``(M - n + 1) / (M - n + 1 + bW_tot)``.
+
+TPU-native form: one ``lax.scan`` over the M axis whose carry is
+``(state bool[R, N], n i32[R])``; every step does O(R) vector work, so wall
+clock is M sequential steps regardless of replica count. All randomness is
+pre-generated as counter-based uniforms ``[M, R]``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from isingmontecarlo_tpu.sse.model import BondModel
+from isingmontecarlo_tpu.sse.opstring import OpString, op_count
+
+
+class HeatBathTables(NamedTuple):
+    """Precomputed ``BondWeights`` (``heatbath.rs:10-61``)."""
+
+    cum_max_w: jax.Array  # f32[NB] inclusive cumulative max weights
+    total: jax.Array  # f32[] total weight
+
+
+def make_heatbath_tables(model: BondModel) -> HeatBathTables:
+    maxw = model.max_diag_w()
+    cum = jnp.cumsum(maxw)
+    return HeatBathTables(cum_max_w=cum, total=cum[-1])
+
+
+def _gather_state_bits(state, vars_p, rows):
+    """state bool[R, N], vars_p i32[K, R] (−1 pads) -> bits bool[K, R]."""
+    bits = []
+    for l in range(vars_p.shape[0]):
+        idx = jnp.where(vars_p[l] >= 0, vars_p[l], 0)
+        bits.append(jnp.where(vars_p[l] >= 0, state[rows, idx], False))
+    return jnp.stack(bits)
+
+
+def _substate_idx(bits):
+    k = bits.shape[0]
+    w = (1 << jnp.arange(k, dtype=jnp.int32)).reshape((k,) + (1,) * (bits.ndim - 1))
+    return jnp.sum(bits.astype(jnp.int32) * w, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("heatbath",))
+def diagonal_update(
+    ops: OpString,
+    state: jax.Array,  # bool[R, N]
+    beta: jax.Array,  # f32[] or f32[R]
+    key: jax.Array,
+    model: BondModel,
+    hb: HeatBathTables | None = None,
+    heatbath: bool = False,
+) -> OpString:
+    """One full diagonal sweep. Returns the updated op string.
+
+    The p=0 state is unchanged by construction (only diagonal ops are inserted
+    or removed; the reference likewise sweeps a copy of the state,
+    ``diagonal.rs:101-111``).
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    NB = model.nbonds
+    beta = jnp.asarray(beta, jnp.float32)
+    if beta.ndim == 0:
+        beta = jnp.broadcast_to(beta, (R,))
+
+    rows = jnp.arange(R)
+    u = jax.random.uniform(key, (3, M, R))
+    n0 = op_count(ops)
+
+    bond_vars = model.bond_vars  # [NB, K]
+    diag_w = model.diag_w  # [NB, 2^K]
+
+    if heatbath:
+        assert hb is not None
+        bw_tot = beta * hb.total  # [R]
+        max_w_tab = model.max_diag_w()  # [NB]
+
+    def step(carry, xs):
+        prop, n = carry
+        bond_p, in_p, out_p, u0, u1, u2 = xs
+        # classify
+        is_ident = bond_p < 0
+        is_diag = jnp.all(in_p == out_p, axis=0) & ~is_ident
+        is_offdiag = ~is_ident & ~is_diag
+
+        # --- propagate off-diagonal ops (diagonal.rs:155-161) -------------
+        b_safe = jnp.maximum(bond_p, 0)
+        vars_cur = jnp.moveaxis(bond_vars[b_safe], -1, 0)  # [K, R]
+        new_prop = prop
+        for l in range(K):
+            idx = jnp.where(is_offdiag & (vars_cur[l] >= 0), vars_cur[l], model.nvars)
+            new_prop = new_prop.at[rows, idx].set(out_p[l], mode="drop")
+        prop = new_prop
+
+        mmn = (M - n).astype(jnp.float32)  # M - n
+
+        # --- proposal bond ------------------------------------------------
+        if heatbath:
+            b_new = jnp.searchsorted(hb.cum_max_w, u1 * hb.total).astype(jnp.int32)
+            b_new = jnp.minimum(b_new, NB - 1)
+        else:
+            b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
+        vars_new = jnp.moveaxis(bond_vars[b_new], -1, 0)  # [K, R]
+        bits_new = _gather_state_bits(prop, vars_new, rows)  # [K, R]
+        w_new = diag_w[b_new, _substate_idx(bits_new)]  # [R]
+
+        # --- current op weight (for removal) ------------------------------
+        w_cur = diag_w[b_safe, _substate_idx(in_p)]
+
+        if heatbath:
+            ins_try = u0 * (mmn + bw_tot) < bw_tot
+            maxw = max_w_tab[b_new]
+            insert = is_ident & ins_try & (u2 * maxw < w_new)
+            remove = is_diag & (u0 * (mmn + 1.0 + bw_tot) < (mmn + 1.0))
+        else:
+            num = beta * NB * w_new
+            insert = is_ident & (u0 * mmn < num)
+            num_r = beta * NB * w_cur
+            remove = is_diag & (u0 * num_r < (mmn + 1.0))
+
+        new_bond = jnp.where(insert, b_new, jnp.where(remove, -1, bond_p))
+        keep_in = jnp.where(insert[None], bits_new, in_p)
+        keep_in = jnp.where(remove[None], False, keep_in)
+        new_n = n + insert.astype(jnp.int32) - remove.astype(jnp.int32)
+        return (prop, new_n), (new_bond, keep_in)
+
+    xs = (
+        ops.bond,
+        jnp.moveaxis(ops.inputs, 1, 0),
+        jnp.moveaxis(ops.outputs, 1, 0),
+        u[0],
+        u[1],
+        u[2],
+    )
+    (_, _), (new_bond, new_in) = jax.lax.scan(step, (state, n0), xs)
+    new_in = jnp.moveaxis(new_in, 0, 1)  # [K, M, R]
+    # Inserted/removed slots are diagonal: outputs follow inputs there; slots
+    # holding off-diagonal ops are untouched by the sweep.
+    changed = new_bond != ops.bond
+    new_out = jnp.where(changed[None], new_in, ops.outputs)
+    new_in_full = jnp.where(changed[None], new_in, ops.inputs)
+    return OpString(bond=new_bond, inputs=new_in_full, outputs=new_out)

@@ -1,0 +1,301 @@
+"""TFIM model API — mirror of ``QmcIsingGraph``
+(``src/sse/qmc_ising.rs:28-046, 644-795``), batched over replicas.
+
+``H = sum_ij J_ij s^z_i s^z_j + G sum_i s^x_i + h sum_i s^z_i``
+
+The timestep composition mirrors ``qmc_ising.rs:644-795``:
+
+1. diagonal sweep (Metropolis, or heat-bath when enabled);
+2. cluster update (weighted when ``h != 0``);
+3. resample spins with no ops;
+4. grow the cutoff ``M = max(M, n + n/2)`` (host-side re-pad here).
+
+RVB updates (``set_run_rvb``) are scheduled for a later round; enabling them
+currently raises ``NotImplementedError``.
+
+The functional core (:func:`sweep`, :func:`multi_sweep`) is pure and
+jit-compiled; :class:`QmcIsingGraph` is the stateful convenience wrapper
+mirroring the reference's entry points (``new_with_rng``, ``timesteps``,
+``timesteps_sample``, ``timesteps_measure`` — ``qmc_stepper.rs:17-162``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isingmontecarlo_tpu.lattice import Edge, nvars_from_edges
+from isingmontecarlo_tpu.sse import cluster as _cluster
+from isingmontecarlo_tpu.sse import diagonal as _diag
+from isingmontecarlo_tpu.sse import opstring as _ops
+from isingmontecarlo_tpu.sse.model import BondModel, tfim_model
+
+
+class SseState(NamedTuple):
+    """The whole simulation state as a pytree (checkpointable as-is)."""
+
+    ops: _ops.OpString
+    state: jax.Array  # bool[R, N]
+    key: jax.Array
+
+
+def resample_free_spins(
+    sse: SseState, key: jax.Array, model: BondModel
+) -> SseState:
+    """Spins with no ops are resampled uniformly (``qmc_ising.rs:780-784``)."""
+    R = sse.state.shape[0]
+    vars_ = _ops.op_vars(sse.ops, model)  # [K, M, R]
+    K, M, _ = vars_.shape
+    has_op = jnp.zeros((R, model.nvars), bool)
+    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, None, :], vars_.shape)
+    idx = jnp.where(vars_ >= 0, vars_, model.nvars)
+    has_op = has_op.at[cols.reshape(-1), idx.reshape(-1)].set(True, mode="drop")
+    fresh = jax.random.bernoulli(key, 0.5, sse.state.shape)
+    return sse._replace(state=jnp.where(has_op, sse.state, fresh))
+
+
+@functools.partial(jax.jit, static_argnames=("heatbath",))
+def sweep(
+    sse: SseState,
+    beta: jax.Array,
+    model: BondModel,
+    hb: _diag.HeatBathTables | None = None,
+    heatbath: bool = False,
+) -> SseState:
+    """One full QMC timestep (``qmc_ising.rs:644-795`` minus RVB/cutoff)."""
+    key, k_diag, k_clust, k_free = jax.random.split(sse.key, 4)
+    ops = _diag.diagonal_update(
+        sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath
+    )
+    ops, state = _cluster.cluster_update(ops, sse.state, k_clust, model)
+    sse = SseState(ops=ops, state=state, key=key)
+    return resample_free_spins(sse, k_free, model)
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps", "heatbath", "collect_states"))
+def multi_sweep(
+    sse: SseState,
+    beta: jax.Array,
+    model: BondModel,
+    nsweeps: int,
+    hb: _diag.HeatBathTables | None = None,
+    heatbath: bool = False,
+    collect_states: bool = False,
+):
+    """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
+    ``i32[T, R]`` (for the energy estimator) and optionally sampled states
+    ``bool[T, R, N]``."""
+
+    def body(carry, _):
+        new = sweep(carry, beta, model, hb=hb, heatbath=heatbath)
+        out = (_ops.op_count(new.ops), new.state if collect_states else None)
+        return new, out
+
+    sse, (ns, states) = jax.lax.scan(body, sse, None, length=nsweeps)
+    return sse, ns, states
+
+
+class QmcIsingGraph:
+    """Batched transverse-field Ising model QMC.
+
+    Mirrors ``DefaultQmcIsingGraph`` construction and stepping
+    (``qmc_ising.rs:49-166``); runs ``R`` independent replicas.
+    """
+
+    def __init__(
+        self,
+        edges: Sequence[tuple[Edge, float]],
+        transverse: float,
+        longitudinal: float = 0.0,
+        cutoff: int | None = None,
+        *,
+        replicas: int = 1,
+        seed: int = 0,
+        state: np.ndarray | None = None,
+    ):
+        self.edges = list(edges)
+        self.transverse = float(transverse)
+        self.longitudinal = float(longitudinal)
+        self.nvars = nvars_from_edges(edges)
+        self.model = tfim_model(edges, transverse, longitudinal)
+        self.replicas = replicas
+        self._heatbath = False
+        self._hb_tables: _diag.HeatBathTables | None = None
+        self._run_rvb = False
+        key = jax.random.key(seed)
+        key, k_state = jax.random.split(key)
+        if state is None:
+            spins = jax.random.bernoulli(k_state, 0.5, (replicas, self.nvars))
+        else:
+            spins = jnp.asarray(state, bool)
+            if spins.ndim == 1:
+                spins = jnp.broadcast_to(spins[None], (replicas, self.nvars))
+        cutoff = max(cutoff or 0, self.nvars, 8)
+        self.sse = SseState(
+            ops=_ops.empty_opstring(cutoff, replicas, self.model.max_legs),
+            state=spins,
+            key=key,
+        )
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def new_with_rng(
+        cls, edges, transverse, longitudinal=0.0, cutoff=None, *, replicas=1, seed=0,
+        state=None,
+    ):
+        """Mirror of ``QmcIsingGraph::new_with_rng`` (``qmc_ising.rs:118-148``)."""
+        return cls(
+            edges, transverse, longitudinal, cutoff,
+            replicas=replicas, seed=seed, state=state,
+        )
+
+    @classmethod
+    def new_from_graph_state(cls, graph_state, transverse, longitudinal=0.0, *, seed=0):
+        """Mirror of ``new_from_graph`` (``qmc_ising.rs:151-166``): seed the
+        quantum simulation from classical-MC states."""
+        spins = graph_state.state_ref()
+        return cls(
+            graph_state.edges, transverse, longitudinal,
+            replicas=spins.shape[0], seed=seed, state=np.asarray(spins),
+        )
+
+    # -- toggles (qmc_ising.rs:435-486) ------------------------------------
+
+    def set_run_rvb(self, run: bool) -> None:
+        if run:
+            raise NotImplementedError(
+                "RVB updates are not yet implemented in the TPU build"
+            )
+        self._run_rvb = False
+
+    def set_enable_heatbath(self, enable: bool) -> None:
+        self._heatbath = enable
+        if enable and self._hb_tables is None:
+            self._hb_tables = _diag.make_heatbath_tables(self.model)
+
+    # -- accessors ---------------------------------------------------------
+
+    @property
+    def cutoff(self) -> int:
+        return self.sse.ops.cutoff
+
+    def get_n(self) -> jax.Array:
+        """Op count per replica ``i32[R]``."""
+        return _ops.op_count(self.sse.ops)
+
+    def get_bond_count(self, bond: int) -> jax.Array:
+        """Ops at a given bond per replica (``qmc_stepper.rs:14``)."""
+        return _ops.bond_counts(self.sse.ops, self.model.nbonds)[:, bond]
+
+    def state_ref(self) -> jax.Array:
+        return self.sse.state
+
+    def clone_state(self) -> np.ndarray:
+        return np.asarray(self.sse.state)
+
+    def get_offset(self) -> float:
+        return self.model.offset
+
+    def get_energy_for_average_n(self, average_n, beta) -> jax.Array:
+        """``E = -<n>/beta + offset`` (``qmc_ising.rs:805-809``)."""
+        return -(jnp.asarray(average_n, jnp.float32) / beta) + self.model.offset
+
+    def verify(self) -> bool:
+        """Worldline integrity of every replica (``qmc_ising.rs:824-861``)."""
+        return bool(jnp.all(_ops.verify(self.sse.ops, self.sse.state, self.model)))
+
+    def imaginary_time_states(self) -> jax.Array:
+        """All propagated states ``bool[M, R, N]`` (``itime_fold``)."""
+        return _ops.itime_states(self.sse.ops, self.sse.state, self.model)
+
+    # -- stepping ----------------------------------------------------------
+
+    def _maybe_grow(self) -> None:
+        """Cutoff growth ``M = max(M, n + n/2)`` (``qmc_ising.rs:786``),
+        quantized to multiples of 16 to bound recompiles."""
+        n_max = int(jnp.max(_ops.op_count(self.sse.ops)))
+        want = n_max + n_max // 2
+        if want > self.cutoff:
+            new_m = ((max(want, self.cutoff) + 15) // 16) * 16
+            self.sse = self.sse._replace(ops=_ops.grow(self.sse.ops, new_m))
+
+    def timestep(self, beta: float) -> jax.Array:
+        """One QMC timestep; returns the state (``qmc_ising.rs:644-795``)."""
+        self.sse = sweep(
+            self.sse,
+            jnp.float32(beta),
+            self.model,
+            hb=self._hb_tables if self._heatbath else None,
+            heatbath=self._heatbath,
+        )
+        self._maybe_grow()
+        return self.sse.state
+
+    def timesteps(self, t: int, beta: float, chunk: int = 16) -> jax.Array:
+        """``t`` timesteps; returns average energy per replica ``f32[R]``
+        (``qmc_stepper.rs:17-20``)."""
+        _, energy = self.timesteps_measure(t, beta, None, lambda acc, s: acc, chunk=chunk)
+        return energy
+
+    def timesteps_sample(
+        self, t: int, beta: float, sampling_freq: int | None = None, chunk: int = 16
+    ):
+        """Returns ``(states bool[num_samples, R, N], energy f32[R])``
+        (``qmc_stepper.rs:23-40``)."""
+        samples: list[np.ndarray] = []
+        acc, energy = self.timesteps_measure(
+            t,
+            beta,
+            samples,
+            lambda acc, s: (acc.append(np.asarray(s)), acc)[1],
+            sampling_freq,
+            chunk=chunk,
+        )
+        return np.stack(acc) if acc else np.zeros((0, self.replicas, self.nvars), bool), energy
+
+    def timesteps_measure(
+        self,
+        timesteps: int,
+        beta: float,
+        init_acc: Any,
+        state_fold: Callable[[Any, jax.Array], Any],
+        sampling_freq: int | None = None,
+        chunk: int = 16,
+    ):
+        """Fold over sampled states (``qmc_stepper.rs:133-162``): measures at
+        every ``sampling_freq``-th step, accumulates the op count for the
+        energy estimator, returns ``(acc, energy f32[R])``."""
+        freq = sampling_freq or 1
+        beta_arr = jnp.float32(beta)
+        acc = init_acc
+        total_n = jnp.zeros((self.replicas,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        steps_measured = 0
+        done = 0
+        while done < timesteps:
+            todo = min(chunk, timesteps - done)
+            collect = freq <= todo  # any sample in this chunk?
+            self.sse, ns, states = multi_sweep(
+                self.sse,
+                beta_arr,
+                self.model,
+                todo,
+                hb=self._hb_tables if self._heatbath else None,
+                heatbath=self._heatbath,
+                collect_states=collect,
+            )
+            for i in range(todo):
+                t_global = done + i
+                if (t_global + 1) % freq == 0:
+                    if states is not None:
+                        acc = state_fold(acc, states[i])
+                    total_n = total_n + ns[i]
+                    steps_measured += 1
+            done += todo
+            self._maybe_grow()
+        average_n = total_n / max(steps_measured, 1)
+        return acc, self.get_energy_for_average_n(average_n, beta)

@@ -1,0 +1,208 @@
+"""Hamiltonian bond tables — the TPU replacement for the reference's
+``Hamiltonian`` trait / ``Ham`` closure adapter (``src/sse/ham.rs:4-45``,
+``src/sse/qmc_traits/diagonal.rs:5-12``).
+
+Where the reference evaluates matrix elements through closures per op, the TPU
+build precompiles every bond's diagonal matrix elements into a dense table
+``diag_w[NB, 2^K]`` (and optionally the full ``2^K x 2^K`` matrices for
+directed-loop updates), so the hot update loops are pure gathers.
+
+Substate indexing convention: bit ``l`` of the substate index is the spin of
+the variable in leg slot ``l`` (bit 0 = slot 0). Site bonds occupy slot 0 and
+pad slot 1 with var ``-1``; their table rows are constant in bit 1.
+
+TFIM bond layout mirrors ``src/sse/qmc_ising.rs:186-205``:
+``[0, NE)`` two-site bonds, ``[NE, NE+N)`` transverse-field site bonds
+(constant ops = cluster edges), ``[NE+N, NE+2N)`` longitudinal site bonds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isingmontecarlo_tpu.lattice import Edge, nvars_from_edges
+
+
+class BondModel(NamedTuple):
+    """Compiled Hamiltonian: static tables indexed by bond id.
+
+    Shapes: ``NB`` bonds, ``K`` max legs per bond (2 for TFIM), ``N`` spins.
+    """
+
+    bond_vars: jax.Array  # i32[NB, K], -1 pads unused legs
+    is_constant: jax.Array  # bool[NB]  (Op::is_constant, op_container.rs:90-93)
+    diag_w: jax.Array  # f32[NB, 2^K] diagonal matrix elements
+    full_w: jax.Array | None  # f32[NB, 2^K, 2^K] or None (diagonal-only models)
+    offset: float  # energy offset added by the weight shifts
+    nvars: int
+
+    @property
+    def nbonds(self) -> int:
+        return self.bond_vars.shape[0]
+
+    @property
+    def max_legs(self) -> int:
+        return self.bond_vars.shape[1]
+
+    def arity(self) -> jax.Array:
+        """i32[NB] number of valid legs per bond."""
+        return jnp.sum(self.bond_vars >= 0, axis=1).astype(jnp.int32)
+
+    def max_diag_w(self) -> jax.Array:
+        """f32[NB]: max diagonal weight per bond (heat-bath ``BondWeights``,
+        ``src/sse/qmc_traits/heatbath.rs:130-146``)."""
+        return jnp.max(self.diag_w, axis=1)
+
+
+def two_site_diag_weight(j: float, s0: bool, s1: bool) -> float:
+    """``|J| - J`` for aligned spins, ``|J| + J`` for anti-aligned
+    (``qmc_ising.rs:863-874``)."""
+    return abs(j) + (-j if s0 == s1 else j)
+
+
+def longitudinal_diag_weight(h: float, s: bool) -> float:
+    """``|h| + h`` spin-up, ``|h| - h`` spin-down (``qmc_ising.rs:880-888``)."""
+    return abs(h) + (h if s else -h)
+
+
+def tfim_model(
+    edges: Sequence[tuple[Edge, float]],
+    transverse: float,
+    longitudinal: float = 0.0,
+    nvars: int | None = None,
+) -> BondModel:
+    """Build the TFIM bond model
+    ``H = sum_ij J_ij s^z_i s^z_j + G sum_i s^x_i (+ longitudinal site terms)``
+    with the reference's bond layout and energy offset
+    (``qmc_ising.rs:80-115, 186-205, 863-888``)."""
+    if nvars is None:
+        nvars = nvars_from_edges(edges)
+    ne = len(edges)
+    has_h = abs(longitudinal) > 1e-12
+    nb = ne + nvars + (nvars if has_h else 0)
+    K = 2
+
+    bond_vars = np.full((nb, K), -1, dtype=np.int32)
+    is_constant = np.zeros((nb,), dtype=bool)
+    diag_w = np.zeros((nb, 1 << K), dtype=np.float32)
+    # full matrices: needed only for directed-loop updates on TFIM; transverse
+    # ops are the only off-diagonal entries.
+    full_w = np.zeros((nb, 1 << K, 1 << K), dtype=np.float32)
+
+    for b, ((va, vb), j) in enumerate(edges):
+        bond_vars[b] = (va, vb)
+        for s in range(4):
+            w = two_site_diag_weight(j, bool(s & 1), bool(s & 2))
+            diag_w[b, s] = w
+            full_w[b, s, s] = w
+
+    for v in range(nvars):
+        b = ne + v
+        bond_vars[b, 0] = v
+        is_constant[b] = True
+        # Transverse ops: weight `transverse` for every in/out combination of
+        # leg 0 (qmc_ising.rs:876-878); bit 1 is padding and must not vary.
+        for s in range(4):
+            diag_w[b, s] = transverse
+            for t in range(4):
+                if (s & 2) == (t & 2):  # padding leg fixed
+                    full_w[b, s, t] = transverse
+
+    if has_h:
+        for v in range(nvars):
+            b = ne + nvars + v
+            bond_vars[b, 0] = v
+            for s in range(4):
+                w = longitudinal_diag_weight(longitudinal, bool(s & 1))
+                diag_w[b, s] = w
+                full_w[b, s, s] = w
+
+    # Energy offset: sum |J| + n (G + |h|)  (qmc_ising.rs:97-99).
+    offset = float(sum(abs(j) for _, j in edges)) + nvars * (
+        transverse + abs(longitudinal)
+    )
+
+    return BondModel(
+        bond_vars=jnp.asarray(bond_vars),
+        is_constant=jnp.asarray(is_constant),
+        diag_w=jnp.asarray(diag_w),
+        full_w=jnp.asarray(full_w),
+        offset=offset,
+        nvars=nvars,
+    )
+
+
+def generic_model(
+    nvars: int,
+    interactions: Sequence[tuple[np.ndarray, Sequence[int]]],
+    offset: float = 0.0,
+) -> BondModel:
+    """Build a model from arbitrary k-local interaction matrices — the
+    capability surface of ``Qmc::make_interaction`` (``qmc_runner.rs:112-156``).
+
+    ``interactions`` is a list of ``(mat, vars)`` where ``mat`` is either a
+    full ``2^k x 2^k`` matrix (row = outputs, col = inputs, reference bit
+    order ``qmc_runner.rs:673-680``: first variable is the most significant
+    bit) or a length-``2^k`` diagonal. All weights must be non-negative.
+    """
+    K = max(len(vars) for _, vars in interactions)
+    nb = len(interactions)
+    bond_vars = np.full((nb, K), -1, dtype=np.int32)
+    is_constant = np.zeros((nb,), dtype=bool)
+    diag_w = np.zeros((nb, 1 << K), dtype=np.float32)
+    full_w = np.zeros((nb, 1 << K, 1 << K), dtype=np.float32)
+
+    for b, (mat, vars) in enumerate(interactions):
+        mat = np.asarray(mat, dtype=np.float64)
+        k = len(vars)
+        bond_vars[b, :k] = vars
+        nstates = 1 << k
+
+        def to_ref_bits(local_idx: int) -> int:
+            # our bit l = slot l spin; reference: first var most significant.
+            ref = 0
+            for l in range(k):
+                ref = (ref << 1) | ((local_idx >> l) & 1)
+            return ref
+
+        if mat.ndim == 1 or (mat.ndim == 2 and mat.shape[0] == 1):
+            mat = mat.reshape(-1)
+            if mat.shape[0] != nstates:
+                raise ValueError(f"diagonal interaction len {mat.shape[0]} != 2^{k}")
+            if np.any(mat < 0):
+                raise ValueError("negative weights are not allowed")
+            for s in range(nstates):
+                for pad in range(1 << (K - k)):
+                    idx = s | (pad << k)
+                    w = float(mat[to_ref_bits(s)])
+                    diag_w[b, idx] = w
+                    full_w[b, idx, idx] = w
+        else:
+            if mat.shape != (nstates, nstates):
+                raise ValueError(f"interaction shape {mat.shape} != (2^{k}, 2^{k})")
+            if np.any(mat < 0):
+                raise ValueError("negative weights are not allowed")
+            for si in range(nstates):
+                for so in range(nstates):
+                    # reference index = (outputs << k) + inputs
+                    w = float(mat[to_ref_bits(so), to_ref_bits(si)])
+                    for pad in range(1 << (K - k)):
+                        ii = si | (pad << k)
+                        oo = so | (pad << k)
+                        full_w[b, ii, oo] = w
+                        if ii == oo:
+                            diag_w[b, ii] = w
+            is_constant[b] = bool(np.all(np.abs(mat - mat.flat[0]) < 1e-12))
+
+    return BondModel(
+        bond_vars=jnp.asarray(bond_vars),
+        is_constant=jnp.asarray(is_constant),
+        diag_w=jnp.asarray(diag_w),
+        full_w=jnp.asarray(full_w),
+        offset=offset,
+        nvars=nvars,
+    )

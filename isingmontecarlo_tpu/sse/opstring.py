@@ -1,0 +1,197 @@
+"""Tensor operator-string storage — the TPU replacement for ``FastOps``
+(``src/sse/fast_ops.rs:35-49``).
+
+The reference threads doubly-linked lists through heap nodes to get O(1)
+insert/remove at any imaginary-time slot ``p``. On TPU we store the op string
+as fixed-capacity struct-of-arrays tensors and *derive* per-variable adjacency
+on demand with a sort along the time axis (segmented-scan style), which
+removes all mutation bookkeeping and vectorizes across replicas:
+
+- ``bond: i32[M, R]`` — bond id per slot, ``-1`` = identity.
+- ``inputs/outputs: bool[K, M, R]`` — per-leg spin states
+  (the ``BasicOp`` substates, ``src/sse/qmc_traits/op_container.rs:163-401``).
+
+Layout note: imaginary time ``M`` is the second-to-last axis and replicas
+``R`` the last (lane) axis, so elementwise update math vectorizes across
+replicas in VPU lanes and sorts/scans run along sublanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from isingmontecarlo_tpu.sse.model import BondModel
+
+
+class OpString(NamedTuple):
+    bond: jax.Array  # i32[M, R]
+    inputs: jax.Array  # bool[K, M, R]
+    outputs: jax.Array  # bool[K, M, R]
+
+    @property
+    def cutoff(self) -> int:
+        """The imaginary-time capacity M (reference `cutoff`)."""
+        return self.bond.shape[0]
+
+    @property
+    def replicas(self) -> int:
+        return self.bond.shape[1]
+
+    @property
+    def max_legs(self) -> int:
+        return self.inputs.shape[0]
+
+
+def empty_opstring(cutoff: int, replicas: int, max_legs: int = 2) -> OpString:
+    return OpString(
+        bond=jnp.full((cutoff, replicas), -1, jnp.int32),
+        inputs=jnp.zeros((max_legs, cutoff, replicas), bool),
+        outputs=jnp.zeros((max_legs, cutoff, replicas), bool),
+    )
+
+
+def grow(ops: OpString, new_cutoff: int) -> OpString:
+    """Re-pad to a larger cutoff (the reference grows `cutoff` dynamically,
+    ``qmc_ising.rs:786``; here growth is a host-side re-allocation)."""
+    m = ops.cutoff
+    if new_cutoff <= m:
+        return ops
+    pad = new_cutoff - m
+    return OpString(
+        bond=jnp.pad(ops.bond, ((0, pad), (0, 0)), constant_values=-1),
+        inputs=jnp.pad(ops.inputs, ((0, 0), (0, pad), (0, 0))),
+        outputs=jnp.pad(ops.outputs, ((0, 0), (0, pad), (0, 0))),
+    )
+
+
+def op_count(ops: OpString) -> jax.Array:
+    """``n`` per replica (``OpContainer::get_n``)."""
+    return jnp.sum(ops.bond >= 0, axis=0).astype(jnp.int32)
+
+
+def bond_counts(ops: OpString, nbonds: int) -> jax.Array:
+    """Per-bond op counts ``i32[R, NB]`` (the reference's optional bond
+    counters, ``fast_ops.rs:45, 360-365``, used by tempering weights)."""
+    m, r = ops.bond.shape
+    rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], (m, r))
+    b = jnp.where(ops.bond >= 0, ops.bond, nbonds)  # overflow row dropped
+    counts = jnp.zeros((r, nbonds), jnp.int32)
+    return counts.at[rows.ravel(), b.ravel()].add(1, mode="drop")
+
+
+def leg_valid(ops: OpString, model: BondModel) -> jax.Array:
+    """bool[K, M, R]: leg slot has a real variable."""
+    b = jnp.maximum(ops.bond, 0)
+    vars_ = model.bond_vars[b]  # [M, R, K]
+    return jnp.moveaxis(vars_ >= 0, -1, 0) & (ops.bond >= 0)[None]
+
+
+def op_vars(ops: OpString, model: BondModel) -> jax.Array:
+    """i32[K, M, R]: variable per leg (−1 where invalid)."""
+    b = jnp.maximum(ops.bond, 0)
+    vars_ = jnp.moveaxis(model.bond_vars[b], -1, 0)
+    return jnp.where((ops.bond >= 0)[None], vars_, -1)
+
+
+def is_diagonal(ops: OpString) -> jax.Array:
+    """bool[M, R] (identity slots count as diagonal). Padded legs always hold
+    equal in/out values by construction."""
+    return jnp.all(ops.inputs == ops.outputs, axis=0)
+
+
+def substate_index(bits: jax.Array) -> jax.Array:
+    """bool[K, ...] -> i32[...] with bit l = slot l."""
+    k = bits.shape[0]
+    weights = (1 << jnp.arange(k, dtype=jnp.int32)).reshape((k,) + (1,) * (bits.ndim - 1))
+    return jnp.sum(bits.astype(jnp.int32) * weights, axis=0)
+
+
+def op_weights(ops: OpString, model: BondModel) -> jax.Array:
+    """f32[M, R]: matrix element of every op (1.0 for identities)."""
+    b = jnp.maximum(ops.bond, 0)
+    si = substate_index(ops.inputs)
+    so = substate_index(ops.outputs)
+    if model.full_w is not None:
+        w = model.full_w[b, si, so]
+    else:
+        w = jnp.where(si == so, model.diag_w[b, si], 0.0)
+    return jnp.where(ops.bond >= 0, w, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def verify(ops: OpString, state: jax.Array, model: BondModel) -> jax.Array:
+    """Worldline integrity oracle per replica (``OpContainer::verify``,
+    ``src/sse/qmc_traits/op_container.rs:137-159`` plus the positive-weight
+    check of ``qmc_ising.rs:829-861``).
+
+    Propagates ``state`` through all ops: every op's inputs must match the
+    propagated state, outputs overwrite it, and the final state must equal the
+    initial one (periodic worldlines). Returns ``bool[R]``.
+    """
+    R = ops.replicas
+    K = ops.max_legs
+    vars_ = op_vars(ops, model)  # [K, M, R]
+    valid = vars_ >= 0
+    rows = jnp.arange(R)
+
+    def step(carry, xs):
+        prop, ok = carry
+        vars_p, valid_p, in_p, out_p = xs  # [K,R],[K,R],[K,R],[K,R]
+        for l in range(K):
+            idx = jnp.where(valid_p[l], vars_p[l], 0)
+            cur = prop[rows, idx]
+            ok = ok & jnp.where(valid_p[l], cur == in_p[l], True)
+        for l in range(K):
+            idx = jnp.where(valid_p[l], vars_p[l], model.nvars)
+            prop = prop.at[rows, idx].set(out_p[l], mode="drop")
+        return (prop, ok), None
+
+    (prop, ok), _ = jax.lax.scan(
+        step,
+        (state, jnp.ones((R,), bool)),
+        (
+            jnp.moveaxis(vars_, 1, 0),
+            jnp.moveaxis(valid, 1, 0),
+            jnp.moveaxis(ops.inputs, 1, 0),
+            jnp.moveaxis(ops.outputs, 1, 0),
+        ),
+    )
+    ok = ok & jnp.all(prop == state, axis=1)
+    ok = ok & jnp.all(op_weights(ops, model) > 0.0, axis=0)
+    return ok
+
+
+def itime_states(ops: OpString, state: jax.Array, model: BondModel) -> jax.Array:
+    """All propagated imaginary-time states ``bool[M, R, N]`` (the
+    ``imaginary_time_fold`` capability, ``qmc_stepper.rs:165-167``).
+
+    Memory is O(M R N); intended for measurement at modest sizes.
+    """
+    R = ops.replicas
+    K = ops.max_legs
+    vars_ = op_vars(ops, model)
+    valid = vars_ >= 0
+    rows = jnp.arange(R)
+
+    def step(prop, xs):
+        vars_p, valid_p, out_p = xs
+        out_state = prop
+        for l in range(K):
+            idx = jnp.where(valid_p[l], vars_p[l], model.nvars)
+            out_state = out_state.at[rows, idx].set(out_p[l], mode="drop")
+        return out_state, prop
+
+    _, states = jax.lax.scan(
+        step,
+        state,
+        (
+            jnp.moveaxis(vars_, 1, 0),
+            jnp.moveaxis(valid, 1, 0),
+            jnp.moveaxis(ops.outputs, 1, 0),
+        ),
+    )
+    return states

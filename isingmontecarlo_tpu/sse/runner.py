@@ -1,0 +1,238 @@
+"""Generic k-local interaction QMC — mirror of ``Qmc``
+(``src/sse/qmc_runner.rs:26-440``), batched over replicas.
+
+Interactions are arbitrary ``2^k x 2^k`` matrices (or ``2^k`` diagonals) over
+``k`` variables, added via ``make_interaction[_and_offset]`` /
+``make_diagonal_interaction[_and_offset]`` (``qmc_runner.rs:112-156``). The
+timestep is: diagonal update -> optional directed-loop update -> cluster
+update (when the model has cluster edges and keeps Ising symmetry) -> resample
+free bits (``qmc_runner.rs:363-377``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isingmontecarlo_tpu.sse import cluster as _cluster
+from isingmontecarlo_tpu.sse import diagonal as _diag
+from isingmontecarlo_tpu.sse import opstring as _ops
+from isingmontecarlo_tpu.sse.ising import SseState, resample_free_spins
+from isingmontecarlo_tpu.sse.model import BondModel, generic_model
+
+
+def _sym_under_ising(mat: np.ndarray, k: int) -> bool:
+    """Global-spin-flip symmetry of an interaction (``qmc_runner.rs:643-664``)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n = 1 << k
+    if mat.ndim == 1:
+        return all(abs(mat[i] - mat[(~i) & (n - 1)]) < 1e-12 for i in range(n))
+    return all(
+        abs(mat[o, i] - mat[(~o) & (n - 1), (~i) & (n - 1)]) < 1e-12
+        for o in range(n)
+        for i in range(n)
+    )
+
+
+class Qmc:
+    """Batched generic-interaction SSE QMC."""
+
+    def __init__(
+        self,
+        nvars: int,
+        *,
+        replicas: int = 1,
+        seed: int = 0,
+        do_loop_updates: bool = False,
+        state: np.ndarray | None = None,
+    ):
+        self.nvars = nvars
+        self.replicas = replicas
+        self.do_loop_updates = do_loop_updates
+        self._do_heatbath = False
+        self._interactions: list[tuple[np.ndarray, list[int]]] = []
+        self.offset = 0.0
+        self.has_cluster_edges = False
+        self.breaks_ising_symmetry = False
+        self._model: BondModel | None = None
+        self._hb: _diag.HeatBathTables | None = None
+        key = jax.random.key(seed)
+        key, k_state = jax.random.split(key)
+        if state is None:
+            spins = jax.random.bernoulli(k_state, 0.5, (replicas, nvars))
+        else:
+            spins = jnp.asarray(state, bool)
+            if spins.ndim == 1:
+                spins = jnp.broadcast_to(spins[None], (replicas, nvars))
+        self._key = key
+        self._spins = spins
+        self._sse: SseState | None = None
+
+    # -- interactions ------------------------------------------------------
+
+    def _add(self, mat, vars, diagonal: bool, offset: bool):
+        mat = np.asarray(mat, dtype=np.float64)
+        vars = list(vars)
+        k = len(vars)
+        n = 1 << k
+        if diagonal:
+            mat = mat.reshape(-1)
+            if mat.shape[0] != n:
+                raise ValueError(f"diagonal interaction needs 2^{k} entries")
+        else:
+            mat = mat.reshape(n, n) if mat.size == n * n else mat
+            if mat.shape != (n, n):
+                raise ValueError(f"interaction needs 2^{k} x 2^{k} entries")
+        if offset:
+            # Subtract the min diagonal entry and track it: the reference's
+            # `make_*_interaction_and_offset` does `self.offset -= shift`
+            # (qmc_runner.rs:123-156, 440-559) and the energy estimator is
+            # E = -<n>/beta + self.offset.
+            diag = mat if diagonal else np.diagonal(mat).copy()
+            shift = float(np.min(diag))
+            if diagonal:
+                mat = mat - shift
+            else:
+                mat = mat.copy()
+                np.fill_diagonal(mat, np.diagonal(mat) - shift)
+            self.offset -= shift
+        if np.any(mat < 0):
+            raise ValueError("interaction weights must be non-negative")
+        if not _sym_under_ising(mat, k):
+            self.breaks_ising_symmetry = True
+        is_const = mat.ndim == 2 and np.all(np.abs(mat - mat.flat[0]) < 1e-12)
+        if is_const and k == 1:
+            self.has_cluster_edges = True
+        self._interactions.append((mat, vars))
+        self._model = None  # invalidate compiled tables
+
+    def make_interaction(self, mat, vars) -> None:
+        self._add(mat, vars, diagonal=False, offset=False)
+
+    def make_interaction_and_offset(self, mat, vars) -> None:
+        self._add(mat, vars, diagonal=False, offset=True)
+
+    def make_diagonal_interaction(self, mat, vars) -> None:
+        self._add(mat, vars, diagonal=True, offset=False)
+
+    def make_diagonal_interaction_and_offset(self, mat, vars) -> None:
+        self._add(mat, vars, diagonal=True, offset=True)
+
+    # -- compiled model ----------------------------------------------------
+
+    @property
+    def model(self) -> BondModel:
+        if self._model is None:
+            if not self._interactions:
+                raise ValueError("no interactions added")
+            self._model = generic_model(
+                self.nvars, self._interactions, offset=self.offset
+            )
+        return self._model
+
+    def _ensure_sse(self) -> SseState:
+        if self._sse is None:
+            cutoff = max(self.nvars, 8)
+            self._sse = SseState(
+                ops=_ops.empty_opstring(cutoff, self.replicas, self.model.max_legs),
+                state=self._spins,
+                key=self._key,
+            )
+        return self._sse
+
+    # -- toggles (qmc_runner.rs:258-270) -----------------------------------
+
+    def set_do_heatbath(self, do: bool) -> None:
+        self._do_heatbath = do
+        if do and self._hb is None:
+            self._hb = _diag.make_heatbath_tables(self.model)
+
+    def set_do_loop_updates(self, do: bool) -> None:
+        self.do_loop_updates = do
+
+    def should_do_cluster_update(self) -> bool:
+        """``qmc_runner.rs:223-239``: clusters need edges + Ising symmetry."""
+        return self.has_cluster_edges and not self.breaks_ising_symmetry
+
+    # -- stepping ----------------------------------------------------------
+
+    def timestep(self, beta: float) -> jax.Array:
+        """One timestep (``qmc_runner.rs:363-377``)."""
+        from isingmontecarlo_tpu.sse import loops as _loops
+
+        sse = self._ensure_sse()
+        key, k_d, k_l, k_c, k_f = jax.random.split(sse.key, 5)
+        ops = _diag.diagonal_update(
+            sse.ops,
+            sse.state,
+            jnp.float32(beta),
+            k_d,
+            self.model,
+            hb=self._hb if self._do_heatbath else None,
+            heatbath=self._do_heatbath,
+        )
+        state = sse.state
+        if self.do_loop_updates:
+            ops, state = _loops.loop_update(ops, state, k_l, self.model)
+        if self.should_do_cluster_update():
+            ops, state = _cluster.cluster_update(ops, state, k_c, self.model)
+        sse = SseState(ops=ops, state=state, key=key)
+        sse = resample_free_spins(sse, k_f, self.model)
+        self._sse = sse
+        self._maybe_grow()
+        return sse.state
+
+    def _maybe_grow(self) -> None:
+        sse = self._ensure_sse()
+        n_max = int(jnp.max(_ops.op_count(sse.ops)))
+        want = n_max + n_max // 2
+        if want > sse.ops.cutoff:
+            new_m = ((want + 15) // 16) * 16
+            self._sse = sse._replace(ops=_ops.grow(sse.ops, new_m))
+
+    def timesteps(self, t: int, beta: float) -> jax.Array:
+        """Average energy per replica over ``t`` steps (``qmc_stepper.rs:17``)."""
+        total_n = jnp.zeros((self.replicas,), jnp.float32)
+        for _ in range(t):
+            self.timestep(beta)
+            total_n = total_n + _ops.op_count(self._sse.ops)
+        avg_n = total_n / t
+        return -(avg_n / beta) + self.model.offset
+
+    def timesteps_sample(self, t: int, beta: float, sampling_freq: int | None = None):
+        freq = sampling_freq or 1
+        samples = []
+        total_n = jnp.zeros((self.replicas,), jnp.float32)
+        measured = 0
+        for i in range(t):
+            self.timestep(beta)
+            if (i + 1) % freq == 0:
+                samples.append(np.asarray(self._sse.state))
+                total_n = total_n + _ops.op_count(self._sse.ops)
+                measured += 1
+        avg_n = total_n / max(measured, 1)
+        energy = -(avg_n / beta) + self.model.offset
+        states = (
+            np.stack(samples)
+            if samples
+            else np.zeros((0, self.replicas, self.nvars), bool)
+        )
+        return states, energy
+
+    # -- accessors ---------------------------------------------------------
+
+    def get_n(self) -> jax.Array:
+        return _ops.op_count(self._ensure_sse().ops)
+
+    def state_ref(self) -> jax.Array:
+        return self._ensure_sse().state
+
+    def get_bond_count(self, bond: int) -> jax.Array:
+        return _ops.bond_counts(self._ensure_sse().ops, self.model.nbonds)[:, bond]
+
+    def verify(self) -> bool:
+        sse = self._ensure_sse()
+        return bool(jnp.all(_ops.verify(sse.ops, sse.state, self.model)))
