@@ -278,7 +278,7 @@ class QmcIsingGraph:
         done = 0
         while done < timesteps:
             todo = min(chunk, timesteps - done)
-            collect = freq <= todo  # any sample in this chunk?
+            collect = any((done + i + 1) % freq == 0 for i in range(todo))
             self.sse, ns, states = multi_sweep(
                 self.sse,
                 beta_arr,

@@ -27,18 +27,32 @@ import numpy as np
 from isingmontecarlo_tpu.lattice import Edge, nvars_from_edges
 
 
-class BondModel(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class BondModel:
     """Compiled Hamiltonian: static tables indexed by bond id.
 
     Shapes: ``NB`` bonds, ``K`` max legs per bond (2 for TFIM), ``N`` spins.
+    The weight tables are pytree leaves (traced under jit); ``offset`` and
+    ``nvars`` are static aux data so they stay Python scalars inside jit.
     """
 
-    bond_vars: jax.Array  # i32[NB, K], -1 pads unused legs
-    is_constant: jax.Array  # bool[NB]  (Op::is_constant, op_container.rs:90-93)
-    diag_w: jax.Array  # f32[NB, 2^K] diagonal matrix elements
-    full_w: jax.Array | None  # f32[NB, 2^K, 2^K] or None (diagonal-only models)
-    offset: float  # energy offset added by the weight shifts
-    nvars: int
+    def __init__(self, bond_vars, is_constant, diag_w, full_w, offset, nvars):
+        self.bond_vars = bond_vars  # i32[NB, K], -1 pads unused legs
+        self.is_constant = is_constant  # bool[NB] (op_container.rs:90-93)
+        self.diag_w = diag_w  # f32[NB, 2^K]
+        self.full_w = full_w  # f32[NB, 2^K, 2^K] or None
+        self.offset = offset  # energy offset from the weight shifts
+        self.nvars = nvars
+
+    def tree_flatten(self):
+        children = (self.bond_vars, self.is_constant, self.diag_w, self.full_w)
+        return children, (self.offset, self.nvars)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        bond_vars, is_constant, diag_w, full_w = children
+        offset, nvars = aux
+        return cls(bond_vars, is_constant, diag_w, full_w, offset, nvars)
 
     @property
     def nbonds(self) -> int:
