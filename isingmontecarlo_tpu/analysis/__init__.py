@@ -1,0 +1,16 @@
+"""Analysis layer: FFT autocorrelations (reference
+``src/sse/autocorrelations.rs``)."""
+
+from isingmontecarlo_tpu.analysis.autocorr import (
+    fft_autocorrelation,
+    sample_autocorrelation,
+    spin_autocorrelation,
+    bond_autocorrelation,
+)
+
+__all__ = [
+    "fft_autocorrelation",
+    "sample_autocorrelation",
+    "spin_autocorrelation",
+    "bond_autocorrelation",
+]

@@ -182,6 +182,52 @@ class TestGenericQmc:
         assert q.verify()
         assert abs(e.mean() - exact) < max(4 * se, 0.1), (e.mean(), exact, se)
 
+    def test_directed_loop_xxz_matches_exact_diag(self):
+        # Exchange interaction (off-diagonal, no constant ops): only the
+        # directed-loop update can create off-diagonal ops here
+        # (directed_loop.rs semantics). Compare E = -<n>/beta to dense diag
+        # of H = -sum_b W_b.
+        W = np.array(
+            [
+                [0.5, 0, 0, 0],
+                [0, 1.0, 0.7, 0],
+                [0, 0.7, 1.0, 0],
+                [0, 0, 0, 0.5],
+            ]
+        )
+        L, beta = 3, 1.2
+        q = Qmc(L, replicas=256, seed=0, do_loop_updates=True)
+        for a in range(L - 1):
+            q.make_interaction(W, [a, a + 1])
+        assert not q.has_cluster_edges
+        for _ in range(30):
+            q.timestep(beta)
+        assert q.verify()
+        total_n = jnp.zeros((256,), jnp.float32)
+        for _ in range(120):
+            q.timestep(beta)
+            total_n = total_n + q.get_n()
+        e = np.asarray(-(total_n / 120) / beta)
+        assert q.verify()
+
+        dim = 1 << L
+        H = np.zeros((dim, dim))
+        for a in range(L - 1):
+            for idx in range(dim):
+                for jdx in range(dim):
+                    if (idx | (1 << a) | (1 << (a + 1))) != (
+                        jdx | (1 << a) | (1 << (a + 1))
+                    ):
+                        continue
+                    ia, ib = (idx >> a) & 1, (idx >> (a + 1)) & 1
+                    ja, jb = (jdx >> a) & 1, (jdx >> (a + 1)) & 1
+                    H[jdx, idx] += -W[(ja << 1) | jb, (ia << 1) | ib]
+        w = np.linalg.eigvalsh(H)
+        z = np.exp(-beta * (w - w.min()))
+        exact = float(((w - w.min()) * z).sum() / z.sum()) + w.min()
+        se = e.std() / np.sqrt(len(e))
+        assert abs(e.mean() - exact) < max(4 * se, 0.08), (e.mean(), exact, se)
+
     def test_symmetry_detection(self):
         q = Qmc(2, replicas=2, seed=14)
         q.make_diagonal_interaction([1.0, 2.0, 2.0, 1.0], [0, 1])
