@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Headline benchmark: classical Ising spin-flip attempts/sec on one chip.
+
+Workload: 256x256 periodic square lattice, ferromagnetic J=-1 (energy
+convention of the reference, ``src/classical/graph.rs:430-447``), batched
+checkerboard Metropolis sweeps fused under one jit. This is BASELINE.md's
+north-star metric: >= 1e10 spin-flip attempts/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "attempts/sec", "vs_baseline": N/1e10}
+
+Extra diagnostics (SSE sweep throughput, device info) go to stderr.
+
+Usage:
+  python bench.py            # full benchmark (TPU or CPU)
+  python bench.py --smoke    # tiny shapes, seconds on CPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from isingmontecarlo_tpu.classical import metropolis as _metro  # noqa: E402
+
+BASELINE_FLIPS_PER_SEC = 1.0e10
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps",))
+def _cb_run(spins, key, beta, j, h, nsweeps: int):
+    """nsweeps fused checkerboard sweeps; returns final spins + a reduction
+    that forces materialization."""
+
+    def body(carry, _):
+        spins, key = carry
+        key, sub = jax.random.split(key)
+        spins = _metro.checkerboard_sweep(spins, sub, beta, j, h)
+        return (spins, key), None
+
+    (spins, _), _ = jax.lax.scan(body, (spins, key), None, length=nsweeps)
+    return spins, jnp.sum(spins)
+
+
+def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
+    """Marginal throughput: time runs of ``nsweeps`` and ``5*nsweeps`` and
+    divide the extra sweeps by the extra time. This removes the constant
+    host<->device dispatch latency (tens of ms over the axon tunnel), which
+    would otherwise dominate and misstate the on-chip rate; a device-to-host
+    scalar read (``float(s)``) forces real completion of each run."""
+    key = jax.random.key(0)
+    key, k0 = jax.random.split(key)
+    spins = jax.random.bernoulli(k0, 0.5, (replicas, L, L))
+    beta = jnp.float32(0.4)
+    j = jnp.float32(-1.0)
+    h = jnp.float32(0.0)
+
+    n_small, n_big = nsweeps, 5 * nsweeps
+
+    def timed(n: int) -> float:
+        nonlocal spins, key
+        best = float("inf")
+        for _ in range(reps):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            spins, s = _cb_run(spins, sub, beta, j, h, n)
+            float(s)  # forces completion through the tunnel
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Warmup / compile both run lengths.
+    for n in (n_small, n_big):
+        spins, s = _cb_run(spins, key, beta, j, h, n)
+        float(s)
+
+    t_small = timed(n_small)
+    t_big = timed(n_big)
+    dt = max(t_big - t_small, 1e-9)
+    attempts = replicas * L * L * (n_big - n_small)
+    return {
+        "attempts_per_sec": attempts / dt,
+        "seconds_small": t_small,
+        "seconds_big": t_big,
+        "sweeps_per_sec": replicas * (n_big - n_small) / dt,
+    }
+
+
+def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
+    """Secondary: SSE TFIM sweeps/sec on an LxL lattice (diagnostic only)."""
+    from isingmontecarlo_tpu import lattice
+    from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+    edges = lattice.square(L, L, j=1.0)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=7)
+    beta = jnp.float32(1.0)
+    # Equilibrate + grow the cutoff to steady state.
+    for _ in range(4):
+        g.sse, ns, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
+        jax.block_until_ready(ns)
+        g._maybe_grow()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g.sse, ns, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
+        jax.block_until_ready(ns)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "sse_replica_sweeps_per_sec": replicas * nsweeps / best,
+        "cutoff": g.cutoff,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
+    ap.add_argument("--no-sse", action="store_true", help="skip SSE diagnostic")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
+
+    if args.smoke:
+        c = bench_classical(L=64, replicas=8, nsweeps=20, reps=2)
+        if not args.no_sse:
+            s = bench_sse(L=4, replicas=32, nsweeps=8, reps=2)
+            print(f"sse: {s}", file=sys.stderr)
+    else:
+        c = bench_classical(L=256, replicas=64, nsweeps=100, reps=3)
+        if not args.no_sse:
+            s = bench_sse(L=16, replicas=256, nsweeps=16, reps=2)
+            print(f"sse: {s}", file=sys.stderr)
+
+    print(f"classical: {c}", file=sys.stderr)
+    value = c["attempts_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "classical_256sq_spinflip_attempts_per_sec"
+                if not args.smoke
+                else "classical_smoke_spinflip_attempts_per_sec",
+                "value": value,
+                "unit": "attempts/sec",
+                "vs_baseline": value / BASELINE_FLIPS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

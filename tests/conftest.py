@@ -12,6 +12,10 @@ if "--xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (after env setup)
 
+# The axon TPU plugin in this image overrides the JAX_PLATFORMS env var; the
+# config route still works and must run before backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: test time is dominated by XLA compiles of the
 # scan/label-prop kernels; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
