@@ -164,6 +164,41 @@ class QmcIsingGraph:
             replicas=spins.shape[0], seed=seed, state=np.asarray(spins),
         )
 
+    # -- conversion (IntoQmc, qmc_ising.rs:934-976) -------------------------
+
+    def into_qmc(self):
+        """Convert into a generic :class:`~isingmontecarlo_tpu.sse.runner.Qmc`
+        carrying the same interactions, op string, state, and RNG
+        (``qmc_ising.rs:946-976``): edges become diagonal interactions
+        ``[-J, J, J, -J]`` with offset, the transverse field a constant 2x2
+        interaction, the longitudinal field a diagonal ``[h, -h]`` with
+        offset."""
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(
+            self.nvars,
+            replicas=self.replicas,
+            do_loop_updates=False,
+            state=np.asarray(self.sse.state),
+        )
+        for (a, b), j in self.edges:
+            q.make_diagonal_interaction_and_offset([-j, j, j, -j], [a, b])
+        g = self.transverse
+        for v in range(self.nvars):
+            q.make_interaction([[g, g], [g, g]], [v])
+        if abs(self.longitudinal) > 1e-12:
+            # Weights must reproduce longitudinal_hamiltonian
+            # (qmc_ising.rs:880-888): up -> |h|+h, down -> |h|-h. (The
+            # reference's own IntoQmc passes an inverted, sign-indefinite
+            # matrix here, qmc_ising.rs:964-967; we match the TFIM physics.)
+            h = self.longitudinal
+            for v in range(self.nvars):
+                q.make_diagonal_interaction_and_offset([-h, h], [v])
+        # Bond layout matches tfim_model exactly, so the op string transfers
+        # verbatim (same indices, same weights).
+        q._sse = self.sse
+        return q
+
     # -- toggles (qmc_ising.rs:435-486) ------------------------------------
 
     def set_run_rvb(self, run: bool) -> None:
@@ -183,6 +218,34 @@ class QmcIsingGraph:
     @property
     def cutoff(self) -> int:
         return self.sse.ops.cutoff
+
+    def get_cutoff(self) -> int:
+        """``qmc_ising.rs:532``."""
+        return self.cutoff
+
+    def set_cutoff(self, cutoff: int) -> None:
+        """Grow the op-string capacity (``qmc_ising.rs:537``; shrinking is a
+        no-op since slots above the old cutoff are identities)."""
+        self.sse = self.sse._replace(ops=_ops.grow(self.sse.ops, cutoff))
+
+    def get_nvars(self) -> int:
+        return self.nvars
+
+    def get_edges(self):
+        return self.edges
+
+    def get_transverse_field(self) -> float:
+        return self.transverse
+
+    def get_longitudinal_field(self) -> float:
+        return self.longitudinal
+
+    def set_state(self, state) -> None:
+        """Overwrite the p=0 state (``state_mut``, ``qmc_ising.rs:497``)."""
+        spins = jnp.asarray(state, bool)
+        if spins.ndim == 1:
+            spins = jnp.broadcast_to(spins[None], (self.replicas, self.nvars))
+        self.sse = self.sse._replace(state=spins)
 
     def get_n(self) -> jax.Array:
         """Op count per replica ``i32[R]``."""
@@ -213,7 +276,120 @@ class QmcIsingGraph:
         """All propagated states ``bool[M, R, N]`` (``itime_fold``)."""
         return _ops.itime_states(self.sse.ops, self.sse.state, self.model)
 
+    # -- debug / introspection (qmc_debug.rs, qmc_ising.rs:489-494) --------
+
+    def count_diagonal_and_off(self):
+        """Per-replica (diagonal, off-diagonal) counts (``qmc_debug.rs:10``)."""
+        from isingmontecarlo_tpu.sse import debug as _debug
+
+        return _debug.count_diagonal_and_off(self.sse.ops)
+
+    def count_constant_ops(self):
+        """Per-replica constant-op counts (``qmc_debug.rs:28``)."""
+        from isingmontecarlo_tpu.sse import debug as _debug
+
+        return _debug.count_constant_ops(self.sse.ops, self.model)
+
+    def print_debug(self, replica: int = 0) -> None:
+        """ASCII worldline dump of one replica (``qmc_ising.rs:489-494``,
+        ``diagonal.rs:194-234``)."""
+        import sys
+
+        from isingmontecarlo_tpu.sse import debug as _debug
+
+        _debug.debug_print_diagonal(
+            self.sse.ops, self.sse.state, self.model, replica, file=sys.stdout
+        )
+
+    # -- checkpointing (the reference `serialize` feature) ------------------
+
+    def save(self, path: str, *, strip_rng: bool = False) -> None:
+        from isingmontecarlo_tpu import checkpoint as _ckpt
+
+        _ckpt.save_qmc_ising(path, self, strip_rng=strip_rng)
+
+    @classmethod
+    def load(cls, path: str, *, seed: int | None = None) -> "QmcIsingGraph":
+        from isingmontecarlo_tpu import checkpoint as _ckpt
+
+        return _ckpt.load_qmc_ising(path, seed=seed)
+
+    # -- autocorrelations (QmcAutoCorrelations, autocorrelations.rs:6-97) ---
+
+    def calculate_autocorrelation(
+        self,
+        timesteps: int,
+        beta: float,
+        sampling_freq: int | None,
+        sample_mapper: Callable[[jax.Array], jax.Array],
+    ) -> np.ndarray:
+        """Run ``timesteps``, map each sampled state through ``sample_mapper``
+        (acting on ``bool[T, R, N]``), FFT-autocorrelate along time
+        (``autocorrelations.rs:8-35``). Returns ``f32[num_samples]``."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+
+        states, _ = self.timesteps_sample(timesteps, beta, sampling_freq)
+        return np.asarray(_ac.sample_autocorrelation(jnp.asarray(states), sample_mapper))
+
+    def calculate_variable_autocorrelation(
+        self, timesteps: int, beta: float, sampling_freq: int | None = None
+    ) -> np.ndarray:
+        """Autocorrelation of spin variables (``autocorrelations.rs:38-50``)."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+
+        states, _ = self.timesteps_sample(timesteps, beta, sampling_freq)
+        return np.asarray(_ac.spin_autocorrelation(jnp.asarray(states)))
+
+    def calculate_spin_product_autocorrelation(
+        self,
+        timesteps: int,
+        beta: float,
+        var_products: Sequence[Sequence[int]],
+        sampling_freq: int | None = None,
+    ) -> np.ndarray:
+        """Autocorrelation of spin products (``autocorrelations.rs:53-70``)."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+
+        states, _ = self.timesteps_sample(timesteps, beta, sampling_freq)
+        return np.asarray(
+            _ac.product_autocorrelation(jnp.asarray(states), var_products)
+        )
+
+    def calculate_bond_autocorrelation(
+        self, timesteps: int, beta: float, sampling_freq: int | None = None
+    ) -> np.ndarray:
+        """Autocorrelation of bond satisfaction (``qmc_ising.rs:978-998``)."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+        from isingmontecarlo_tpu.lattice import edge_arrays
+
+        states, _ = self.timesteps_sample(timesteps, beta, sampling_freq)
+        ev, ej = edge_arrays(self.edges)
+        return np.asarray(_ac.bond_autocorrelation(jnp.asarray(states), ev, ej))
+
     # -- stepping ----------------------------------------------------------
+
+    def single_diagonal_step(self, beta: float) -> None:
+        """One diagonal sweep only (``qmc_ising.rs:208-273``)."""
+        key, k_diag = jax.random.split(self.sse.key)
+        ops = _diag.diagonal_update(
+            self.sse.ops,
+            self.sse.state,
+            jnp.float32(beta),
+            k_diag,
+            self.model,
+            hb=self._hb_tables if self._heatbath else None,
+            heatbath=self._heatbath,
+        )
+        self.sse = self.sse._replace(ops=ops, key=key)
+        self._maybe_grow()
+
+    def single_cluster_step(self) -> None:
+        """One cluster update only (``qmc_ising.rs:275-321``)."""
+        key, k_clust = jax.random.split(self.sse.key)
+        ops, state = _cluster.cluster_update(
+            self.sse.ops, self.sse.state, k_clust, self.model
+        )
+        self.sse = SseState(ops=ops, state=state, key=key)
 
     def _maybe_grow(self) -> None:
         """Cutoff growth ``M = max(M, n + n/2)`` (``qmc_ising.rs:786``),

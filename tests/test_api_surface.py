@@ -1,0 +1,171 @@
+"""API-surface parity tests: debug introspection, checkpoint/resume,
+autocorrelation entry points, IntoQmc conversion, single-step variants.
+
+Reference parity targets: ``src/sse/qmc_debug.rs``, the ``serialize`` feature
+(``qmc_ising.rs:1000-1159``), ``QmcAutoCorrelations``
+(``autocorrelations.rs:6-97``), ``IntoQmc`` (``qmc_ising.rs:934-976``) with
+its equivalence test (``tests/convert_test.rs``).
+"""
+
+import numpy as np
+import pytest
+
+from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu.sse import QmcIsingGraph
+from isingmontecarlo_tpu.sse import debug as sse_debug
+
+
+def small_graph(replicas=8, seed=0, h=0.0):
+    return QmcIsingGraph(
+        lattice.chain(4, j=1.0), transverse=1.0, longitudinal=h,
+        replicas=replicas, seed=seed,
+    )
+
+
+class TestDebug:
+    def test_counts_sum_to_n(self):
+        g = small_graph()
+        for _ in range(10):
+            g.timestep(1.5)
+        diag, off = g.count_diagonal_and_off()
+        n = np.asarray(g.get_n())
+        assert np.array_equal(np.asarray(diag) + np.asarray(off), n)
+        const = np.asarray(g.count_constant_ops())
+        assert np.all(const <= n)
+        assert np.all(const >= 0)
+
+    def test_worldline_printer(self):
+        g = small_graph(replicas=2)
+        for _ in range(5):
+            g.timestep(1.0)
+        text = sse_debug.debug_print_diagonal(
+            g.sse.ops, g.sse.state, g.model, replica=0
+        )
+        lines = text.splitlines()
+        assert lines[0] == "=" * g.nvars
+        assert set(lines[1]) <= {"0", "1"}
+        assert len(lines) == 2 + g.cutoff
+        # Identity rows are all '|'; op rows carry digits at their variables.
+        n_op_rows = sum(1 for l in lines[2:] if not l.startswith("|" * g.nvars))
+        assert n_op_rows == int(np.asarray(g.get_n())[0])
+
+
+class TestCheckpoint:
+    def test_roundtrip_resume_deterministic(self, tmp_path):
+        g = small_graph(replicas=4, seed=11)
+        for _ in range(8):
+            g.timestep(1.2)
+        path = str(tmp_path / "ckpt.npz")
+        g.save(path)
+
+        g2 = QmcIsingGraph.load(path)
+        assert np.array_equal(np.asarray(g.sse.state), np.asarray(g2.sse.state))
+        assert np.array_equal(
+            np.asarray(g.sse.ops.bond), np.asarray(g2.sse.ops.bond)
+        )
+        # Resuming both produces identical trajectories (same key).
+        for _ in range(4):
+            g.timestep(1.2)
+            g2.timestep(1.2)
+        assert np.array_equal(np.asarray(g.sse.state), np.asarray(g2.sse.state))
+        assert g2.verify()
+
+    def test_strip_rng_reseeds(self, tmp_path):
+        g = small_graph(replicas=4, seed=11)
+        for _ in range(5):
+            g.timestep(1.0)
+        path = str(tmp_path / "ckpt.npz")
+        g.save(path, strip_rng=True)
+        g2 = QmcIsingGraph.load(path, seed=99)
+        assert g2.verify()
+        g2.timestep(1.0)
+        assert g2.verify()
+
+    def test_tempering_roundtrip(self, tmp_path):
+        from isingmontecarlo_tpu import checkpoint as ckpt
+        from isingmontecarlo_tpu.parallel import TemperingContainer
+
+        tc = TemperingContainer(
+            lattice.chain(4, j=1.0), 1.0, betas=[0.5, 1.0, 2.0], seed=3
+        )
+        tc.timesteps(5)
+        tc.tempering_step()
+        path = str(tmp_path / "temper.npz")
+        ckpt.save_tempering(path, tc)
+        tc2 = ckpt.load_tempering(path)
+        assert np.allclose(np.asarray(tc.betas), np.asarray(tc2.betas))
+        assert tc2.total_swaps == tc.total_swaps
+        assert tc2.verify()
+        tc2.timesteps(2)
+        tc2.tempering_step()
+
+
+class TestAutocorrelations:
+    def test_variable_autocorrelation_shape_and_norm(self):
+        g = small_graph(replicas=8, seed=5)
+        ac = g.calculate_variable_autocorrelation(32, beta=1.0)
+        assert ac.shape == (32,)
+        assert ac[0] == pytest.approx(1.0, abs=1e-4)
+        assert np.all(np.abs(ac) <= 1.0 + 1e-4)
+
+    def test_bond_autocorrelation_runs(self):
+        g = small_graph(replicas=8, seed=6)
+        ac = g.calculate_bond_autocorrelation(16, beta=1.0, sampling_freq=2)
+        assert ac.shape == (8,)
+        # Bonds whose satisfaction never changes normalize to 0, so the
+        # average lag-0 value lies in (0, 1].
+        assert 0.0 < ac[0] <= 1.0 + 1e-4
+
+    def test_spin_product_autocorrelation(self):
+        g = small_graph(replicas=8, seed=7)
+        ac = g.calculate_spin_product_autocorrelation(
+            16, beta=1.0, var_products=[[0, 1], [1, 2]]
+        )
+        assert ac.shape == (16,)
+
+
+class TestIntoQmc:
+    @pytest.mark.parametrize("h", [0.0, 0.3])
+    def test_convert_preserves_opstring_validity(self, h):
+        g = small_graph(replicas=8, seed=21, h=h)
+        for _ in range(10):
+            g.timestep(1.5)
+        assert g.verify()
+        q = g.into_qmc()
+        # Same bond layout -> op string transfers verbatim and stays valid.
+        assert q.verify()
+        assert np.array_equal(np.asarray(q.get_n()), np.asarray(g.get_n()))
+
+    def test_convert_then_step_statistical_equivalence(self):
+        """Mirror of ``tests/convert_test.rs``: both engines sample the same
+        distribution. Exact shared-RNG equality is impossible across RNG
+        designs (SURVEY.md section 7 'Hard parts' #3), so compare <E>."""
+        beta, t = 1.0, 150
+        g = small_graph(replicas=64, seed=2)
+        q = g.into_qmc()
+        e_ising = float(np.mean(np.asarray(g.timesteps(t, beta))))
+        e_qmc = float(np.mean(np.asarray(q.timesteps(t, beta))))
+        # Offsets differ by construction (the generic engine does not fold the
+        # transverse-field offset); compare via the op-count estimator with
+        # each engine's own offset removed.
+        de_ising = e_ising - g.model.offset
+        de_qmc = e_qmc - q.model.offset
+        assert de_ising == pytest.approx(de_qmc, rel=0.15, abs=0.5)
+
+
+class TestSingleSteps:
+    def test_single_diagonal_and_cluster_steps(self):
+        g = small_graph(replicas=8, seed=31)
+        for _ in range(5):
+            g.single_diagonal_step(1.5)
+            assert g.verify()
+        for _ in range(5):
+            g.single_cluster_step()
+            assert g.verify()
+
+    def test_set_cutoff_grows(self):
+        g = small_graph()
+        m0 = g.cutoff
+        g.set_cutoff(m0 + 32)
+        assert g.cutoff == m0 + 32
+        assert g.verify()
