@@ -102,13 +102,13 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     beta = jnp.float32(1.0)
     # Equilibrate + grow the cutoff to steady state.
     for _ in range(4):
-        g.sse, ns, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
         jax.block_until_ready(ns)
         g._maybe_grow()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        g.sse, ns, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
         jax.block_until_ready(ns)
         best = min(best, time.perf_counter() - t0)
     return {

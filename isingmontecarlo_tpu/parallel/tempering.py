@@ -115,7 +115,7 @@ class TemperingContainer:
         done = 0
         while done < t:
             todo = min(chunk, t - done)
-            self.graph.sse, _, _ = multi_sweep(
+            self.graph.sse, _, _, _ = multi_sweep(
                 self.graph.sse,
                 self.betas,
                 self.graph.model,

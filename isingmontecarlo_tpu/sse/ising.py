@@ -58,25 +58,40 @@ def resample_free_spins(
     return sse._replace(state=jnp.where(has_op, sse.state, fresh))
 
 
-@functools.partial(jax.jit, static_argnames=("heatbath",))
+@functools.partial(jax.jit, static_argnames=("heatbath", "n_rvb"))
 def sweep(
     sse: SseState,
     beta: jax.Array,
     model: BondModel,
     hb: _diag.HeatBathTables | None = None,
     heatbath: bool = False,
-) -> SseState:
-    """One full QMC timestep (``qmc_ising.rs:644-795`` minus RVB/cutoff)."""
-    key, k_diag, k_clust, k_free = jax.random.split(sse.key, 4)
+    rvb_tables=None,
+    n_rvb: int = 0,
+) -> tuple[SseState, jax.Array]:
+    """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
+
+    Returns ``(state, rvb_successes i32[R])`` (zeros when RVB is off)."""
+    key, k_diag, k_rvb, k_clust, k_free = jax.random.split(sse.key, 5)
     ops = _diag.diagonal_update(
         sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath
     )
-    ops, state = _cluster.cluster_update(ops, sse.state, k_clust, model)
+    state = sse.state
+    if n_rvb > 0:
+        from isingmontecarlo_tpu.sse import rvb as _rvb
+
+        ops, state, succ = _rvb.rvb_sweep(
+            ops, state, k_rvb, model, rvb_tables, n_rvb
+        )
+    else:
+        succ = jnp.zeros((state.shape[0],), jnp.int32)
+    ops, state = _cluster.cluster_update(ops, state, k_clust, model)
     sse = SseState(ops=ops, state=state, key=key)
-    return resample_free_spins(sse, k_free, model)
+    return resample_free_spins(sse, k_free, model), succ
 
 
-@functools.partial(jax.jit, static_argnames=("nsweeps", "heatbath", "collect_states"))
+@functools.partial(
+    jax.jit, static_argnames=("nsweeps", "heatbath", "collect_states", "n_rvb")
+)
 def multi_sweep(
     sse: SseState,
     beta: jax.Array,
@@ -85,18 +100,27 @@ def multi_sweep(
     hb: _diag.HeatBathTables | None = None,
     heatbath: bool = False,
     collect_states: bool = False,
+    rvb_tables=None,
+    n_rvb: int = 0,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
-    ``i32[T, R]`` (for the energy estimator) and optionally sampled states
-    ``bool[T, R, N]``."""
+    ``i32[T, R]`` (for the energy estimator), optionally sampled states
+    ``bool[T, R, N]``, and accumulated RVB successes ``i32[R]``."""
 
     def body(carry, _):
-        new = sweep(carry, beta, model, hb=hb, heatbath=heatbath)
+        sse, succ = carry
+        new, s = sweep(
+            sse, beta, model, hb=hb, heatbath=heatbath,
+            rvb_tables=rvb_tables, n_rvb=n_rvb,
+        )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
-        return new, out
+        return (new, succ + s), out
 
-    sse, (ns, states) = jax.lax.scan(body, sse, None, length=nsweeps)
-    return sse, ns, states
+    succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
+    (sse, succ), (ns, states) = jax.lax.scan(
+        body, (sse, succ0), None, length=nsweeps
+    )
+    return sse, ns, states, succ
 
 
 class QmcIsingGraph:
@@ -126,6 +150,10 @@ class QmcIsingGraph:
         self._heatbath = False
         self._hb_tables: _diag.HeatBathTables | None = None
         self._run_rvb = False
+        self._rvb_tables = None
+        self._rvb_updates: int | None = None
+        self.total_rvb_successes = 0
+        self.rvb_clusters_counted = 0
         key = jax.random.key(seed)
         key, k_state = jax.random.split(key)
         if state is None:
@@ -201,12 +229,21 @@ class QmcIsingGraph:
 
     # -- toggles (qmc_ising.rs:435-486) ------------------------------------
 
-    def set_run_rvb(self, run: bool) -> None:
-        if run:
-            raise NotImplementedError(
-                "RVB updates are not yet implemented in the TPU build"
-            )
-        self._run_rvb = False
+    def set_run_rvb(self, run: bool, updates_per_timestep: int | None = None) -> None:
+        """Enable RVB sweeps inside every timestep (``qmc_ising.rs:435-441``).
+
+        The reference runs ``(nvars+1)/2`` updates per timestep
+        (``qmc_ising.rs:709-710``, 'average cluster size is always 2');
+        override with ``updates_per_timestep``."""
+        self._run_rvb = run
+        if updates_per_timestep is not None:
+            self._rvb_updates = updates_per_timestep
+        elif not hasattr(self, "_rvb_updates") or self._rvb_updates is None:
+            self._rvb_updates = (self.nvars + 1) // 2
+        if run and self._rvb_tables is None:
+            from isingmontecarlo_tpu.sse import rvb as _rvb
+
+            self._rvb_tables = _rvb.make_rvb_tables(self.edges, self.model)
 
     def set_enable_heatbath(self, enable: bool) -> None:
         self._heatbath = enable
@@ -391,6 +428,31 @@ class QmcIsingGraph:
         )
         self.sse = SseState(ops=ops, state=state, key=key)
 
+    def single_rvb_sweep(
+        self, updates_in_sweep: int | None = None
+    ) -> tuple[int, int]:
+        """RVB updates only (``qmc_ising.rs:323-418``). Returns
+        ``(successes summed over replicas, clusters counted)``."""
+        from isingmontecarlo_tpu.sse import rvb as _rvb
+
+        if self._rvb_tables is None:
+            self._rvb_tables = _rvb.make_rvb_tables(self.edges, self.model)
+        n = updates_in_sweep or (self.nvars + 1) // 2
+        key, k_rvb = jax.random.split(self.sse.key)
+        ops, state, succ = _rvb.rvb_sweep(
+            self.sse.ops, self.sse.state, k_rvb, self.model, self._rvb_tables, n
+        )
+        self.sse = SseState(ops=ops, state=state, key=key)
+        succs = int(jnp.sum(succ))
+        counted = n * self.replicas
+        self.total_rvb_successes += succs
+        self.rvb_clusters_counted += counted
+        return succs, counted
+
+    def rvb_success_rate(self) -> float:
+        """``qmc_ising.rs:605-607``."""
+        return self.total_rvb_successes / max(self.rvb_clusters_counted, 1)
+
     def _maybe_grow(self) -> None:
         """Cutoff growth ``M = max(M, n + n/2)`` (``qmc_ising.rs:786``),
         quantized to multiples of 16 to bound recompiles."""
@@ -400,15 +462,30 @@ class QmcIsingGraph:
             new_m = ((max(want, self.cutoff) + 15) // 16) * 16
             self.sse = self.sse._replace(ops=_ops.grow(self.sse.ops, new_m))
 
+    def _rvb_args(self) -> dict:
+        return dict(
+            rvb_tables=self._rvb_tables if self._run_rvb else None,
+            n_rvb=(self._rvb_updates or 0) if self._run_rvb else 0,
+        )
+
+    def _count_rvb(self, succ, nsweeps: int) -> None:
+        if self._run_rvb:
+            self.total_rvb_successes += int(jnp.sum(succ))
+            self.rvb_clusters_counted += (
+                (self._rvb_updates or 0) * self.replicas * nsweeps
+            )
+
     def timestep(self, beta: float) -> jax.Array:
         """One QMC timestep; returns the state (``qmc_ising.rs:644-795``)."""
-        self.sse = sweep(
+        self.sse, succ = sweep(
             self.sse,
             jnp.float32(beta),
             self.model,
             hb=self._hb_tables if self._heatbath else None,
             heatbath=self._heatbath,
+            **self._rvb_args(),
         )
+        self._count_rvb(succ, 1)
         self._maybe_grow()
         return self.sse.state
 
@@ -455,7 +532,7 @@ class QmcIsingGraph:
         while done < timesteps:
             todo = min(chunk, timesteps - done)
             collect = any((done + i + 1) % freq == 0 for i in range(todo))
-            self.sse, ns, states = multi_sweep(
+            self.sse, ns, states, succ = multi_sweep(
                 self.sse,
                 beta_arr,
                 self.model,
@@ -463,7 +540,9 @@ class QmcIsingGraph:
                 hb=self._hb_tables if self._heatbath else None,
                 heatbath=self._heatbath,
                 collect_states=collect,
+                **self._rvb_args(),
             )
+            self._count_rvb(succ, todo)
             for i in range(todo):
                 t_global = done + i
                 if (t_global + 1) % freq == 0:

@@ -1,0 +1,633 @@
+"""RVB (resonating-valence-bond) updates — reference
+``src/sse/qmc_traits/rvb.rs`` (the largest algorithm in the crate).
+
+Semantics (mirroring the reference):
+
+1. **Cluster sampling** (``build_cluster``, ``rvb.rs:1054-1123``): cluster
+   *elements* are imaginary-time segments of single-variable worldlines
+   bounded by consecutive constant (transverse-field) ops, or whole
+   worldlines for variables with no constant ops. Starting from a uniformly
+   chosen seed element, elements are popped from a weighted boundary set
+   (weights: 1 for same-variable neighbors, the bond magnitude for
+   lattice-neighbor segments overlapping in imaginary time); the number of
+   pops is geometric (``contiguous_bits``, ``rvb.rs:1190-1192``).
+2. **Acceptance** (``calculate_flip_prob``, ``rvb.rs:649-946``): sweep
+   imaginary time tracking the propagated state and the in-cluster mask
+   (toggled at the cluster-bounding constant ops). Every diagonal lattice op
+   on a *boundary bond* (exactly one endpoint in the cluster) contributes a
+   factor ``W_after_tot / W_before_tot`` — the total weight of all boundary
+   bonds evaluated in the flipped vs. current state — because on acceptance
+   such ops are *rotated* to a random boundary bond. Ops entirely inside the
+   cluster contribute their Ising flip ratio (0 for longitudinal field ops,
+   ``qmc_ising.rs:713-725``).
+3. **Mutation** (``mutate_graph``, ``rvb.rs:294-615``): rotate each
+   boundary-bond diagonal op to a random boundary bond sampled by weight,
+   toggle the in/out legs of the cluster-bounding constant ops (turning them
+   off-diagonal), flip interior ops symmetrically, and XOR the p=0 state with
+   the cluster mask where the cluster includes p=0.
+
+TPU-native form: everything is batched over replicas. The reference's
+heap-merged sparse sweep becomes a dense ``lax.scan`` over all imaginary-time
+slots with O(1)-per-step incremental updates of the boundary-weight totals
+(the heap only skips work; the dense scan does the same update at every slot,
+masked). The weighted BFS becomes a Gumbel-categorical pop loop over a fixed
+element space of size M + N. The subsection machinery
+(``diagonal_subsection.rs``) the reference needs to touch only O(cluster)
+worldline is subsumed: the dense scan touches every slot anyway, amortized
+across the replica batch.
+
+Deviation: the geometric cluster size is capped at ``MAX_POPS`` = 16 pops
+(the reference caps ``contiguous_bits`` at 64); P(size > 16) < 1e-4 and the
+truncation only changes the proposal distribution, not correctness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isingmontecarlo_tpu.sse.model import BondModel
+from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
+
+_BIG = jnp.int32(2**30)
+_TINY = 1e-30
+MAX_POPS = 16
+
+
+@jax.tree_util.register_pytree_node_class
+class RvbTables:
+    """Static lattice-adjacency tables over the 2-site (edge) bonds — the
+    ``EdgeNavigator`` capability (``rvb.rs:10-32``) in dense padded form.
+    ``nedges`` is static aux data (it shapes the boundary-weight vector)."""
+
+    def __init__(self, neigh_bond, neigh_var, bond_mag, nedges):
+        self.neigh_bond = neigh_bond  # i32[N, D] edge-bond ids per var, -1 pad
+        self.neigh_var = neigh_var  # i32[N, D] the other var of that bond
+        self.bond_mag = bond_mag  # f32[NE] max matrix element per edge bond
+        self.nedges = nedges  # static
+
+    def tree_flatten(self):
+        return (self.neigh_bond, self.neigh_var, self.bond_mag), (self.nedges,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+def make_rvb_tables(edges, model: BondModel) -> RvbTables:
+    """Build adjacency over the lattice edges (bonds ``[0, NE)`` in the TFIM
+    layout, ``qmc_ising.rs:186-205``)."""
+    nvars = model.nvars
+    ne = len(edges)
+    lists: list[list[tuple[int, int]]] = [[] for _ in range(nvars)]
+    for b, ((va, vb), _) in enumerate(edges):
+        lists[va].append((b, vb))
+        lists[vb].append((b, va))
+    deg = max(1, max((len(l) for l in lists), default=0))
+    nb = np.full((nvars, deg), -1, np.int32)
+    nv = np.full((nvars, deg), -1, np.int32)
+    for v, l in enumerate(lists):
+        for d, (b, ov) in enumerate(l):
+            nb[v, d] = b
+            nv[v, d] = ov
+    mag = np.asarray(jnp.max(model.diag_w[:ne], axis=1))
+    return RvbTables(
+        neigh_bond=jnp.asarray(nb),
+        neigh_var=jnp.asarray(nv),
+        bond_mag=jnp.asarray(mag),
+        nedges=ne,
+    )
+
+
+def _take0(arr, idx):
+    return jnp.take_along_axis(arr, idx, axis=0)
+
+
+def _const_inventory(ops: OpString, model: BondModel):
+    """Sorted constant-op inventory per replica.
+
+    Returns ``(cvar, cpos, cnext, valid, ncount, has_const)``:
+    ``cvar/cpos: i32[M, R]`` constant ops sorted by (var, p) (pad: var=N,
+    pos=0); ``cnext: i32[M, R]`` sorted index of the cyclically-next constant
+    op on the same var; ``valid: bool[M, R]``; ``ncount: i32[R]`` total
+    constant ops; ``has_const: bool[R, N]``.
+
+    Mirrors ``find_constants`` (``rvb.rs:1160-1187``) as one sort.
+    """
+    M, R = ops.bond.shape
+    b = jnp.maximum(ops.bond, 0)
+    occupied = ops.bond >= 0
+    is_const = model.is_constant[b] & occupied  # [M, R]
+    var0 = model.bond_vars[b, 0]  # [M, R] constant ops are single-var
+    p_idx = jnp.arange(M, dtype=jnp.int32)[:, None]
+
+    key = jnp.where(is_const, var0 * M + p_idx, _BIG)
+    order = jnp.argsort(key, axis=0).astype(jnp.int32)
+    skey = _take0(key, order)
+    valid = skey < _BIG
+    cvar = jnp.where(valid, skey // M, model.nvars)
+    cpos = jnp.where(valid, skey % M, 0)
+
+    j = jnp.arange(M, dtype=jnp.int32)[:, None]
+    seg_start = jnp.concatenate(
+        [jnp.ones((1, R), bool), cvar[1:] != cvar[:-1]], axis=0
+    )
+    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
+    nxt_same = jnp.concatenate([cvar[1:] == cvar[:-1], jnp.zeros((1, R), bool)], 0)
+    cnext = jnp.where(nxt_same, jnp.minimum(j + 1, M - 1), group_start)
+    cnext = jnp.where(valid, cnext, j)
+
+    ncount = jnp.sum(valid, axis=0).astype(jnp.int32)
+    has_const = jnp.zeros((R, model.nvars + 1), bool)
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
+    has_const = has_const.at[rows.ravel(), cvar.ravel()].max(
+        valid.ravel(), mode="drop"
+    )[:, : model.nvars]
+    return cvar, cpos, cnext, valid, ncount, has_const
+
+
+def _seg_bounds(cpos, cnext):
+    """Segment (start, length) per sorted element; length 0 means the full
+    circle (single constant op on the var)."""
+    M = cpos.shape[0]
+    s = cpos
+    e = _take0(cpos, cnext)
+    ln = (e - s) % M  # 0 == full circle
+    return s, ln
+
+
+def _cyc_overlap(s1, ln1, s2, ln2, M):
+    """Cyclic half-open interval overlap; length 0 == full period."""
+    full1 = ln1 == 0
+    full2 = ln2 == 0
+    o = (((s2 - s1) % M) < ln1) | (((s1 - s2) % M) < ln2)
+    return o | full1 | full2
+
+
+def _build_cluster(key, ops, model, tables: RvbTables, cvar, cpos, cnext, valid,
+                   ncount, has_const):
+    """Weighted cluster growth (``build_cluster``, ``rvb.rs:1054-1123``).
+
+    Element space per replica: ``[0, M)`` = sorted constant-op segments,
+    ``[M, M+N)`` = whole worldlines of vars with no constant ops. Returns
+    ``popped: bool[R, M+N]``.
+    """
+    M, R = ops.bond.shape
+    N = model.nvars
+    D = tables.neigh_bond.shape[1]
+    rows = jnp.arange(R)
+
+    seg_s, seg_ln = _seg_bounds(cpos, cnext)  # [M, R]
+
+    # -- seed: uniform over (constant ops) + (zero-op vars)  (rvb.rs:117-135)
+    k_seed, k_size, k_pops = jax.random.split(key, 3)
+    nzero = N - jnp.sum(has_const, axis=1).astype(jnp.int32)  # [R]
+    total = ncount + nzero
+    pick = jnp.minimum(
+        (jax.random.uniform(k_seed, (R,)) * total).astype(jnp.int32), total - 1
+    )
+    # zero-op var with cumulative index pick - ncount:
+    zcum = jnp.cumsum((~has_const).astype(jnp.int32), axis=1)  # [R, N]
+    want = (pick - ncount + 1)[:, None]
+    zvar = jnp.argmax(zcum >= want, axis=1).astype(jnp.int32)  # [R]
+    seed_elem = jnp.where(pick < ncount, pick, M + zvar)
+
+    # Geometric pop count: k pops w.p. 2^-k (contiguous_bits + 1).
+    u = jax.random.uniform(k_size, (R,), minval=1e-9, maxval=1.0)
+    n_pops = jnp.clip(
+        1 + jnp.floor(-jnp.log2(u)).astype(jnp.int32), 1, MAX_POPS
+    )
+
+    w0 = jnp.zeros((R, M + N), jnp.float32).at[rows, seed_elem].set(1.0)
+    popped0 = jnp.zeros((R, M + N), bool)
+
+    # Cyclic-previous within var groups: prev[cnext[i]] = i.
+    cols_mr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
+    src_mr = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], (M, R))
+    cprev = jnp.zeros((M, R), jnp.int32).at[cnext, cols_mr].set(src_mr)
+    cprev = jnp.where(valid, cprev, src_mr)
+
+    def body(carry):
+        w, popped, remaining, key = carry
+        key, k_g = jax.random.split(key)
+        total_w = jnp.sum(w, axis=1)
+        active = (remaining > 0) & (total_w > 0)
+
+        g = jax.random.gumbel(k_g, (R, M + N))
+        score = jnp.where(w > 0, jnp.log(jnp.maximum(w, _TINY)) + g, -jnp.inf)
+        elem = jnp.argmax(score, axis=1).astype(jnp.int32)  # [R]
+
+        popped = popped.at[rows, jnp.where(active, elem, 0)].max(active)
+        w = w * (~popped)  # popped elements leave the boundary
+
+        is_flip = elem < M
+        c = jnp.where(is_flip, elem, 0)
+        v = jnp.where(is_flip, cvar[c, rows], elem - M)  # [R]
+        v = jnp.minimum(v, N - 1)
+
+        # Same-var neighbors (rvb.rs:1085-1092), weight 1.0 each.
+        for nb_idx in (cnext[c, rows], cprev[c, rows]):
+            tgt = jnp.where(is_flip & active, nb_idx, M + N - 1)
+            add = (is_flip & active & ~popped[rows, tgt]).astype(jnp.float32)
+            w = w.at[rows, tgt].add(jnp.where(is_flip & active, add, 0.0))
+
+        # Popped segment bounds ([s, s+ln) cyclic; no-flip = full circle).
+        ps = jnp.where(is_flip, seg_s[c, rows], 0)
+        pln = jnp.where(is_flip, seg_ln[c, rows], 0)  # 0 == full
+
+        # Lattice neighbors (rvb.rs:1095-1119).
+        for d in range(D):
+            ov = tables.neigh_var[v, d]  # [R]
+            bm_bond = tables.neigh_bond[v, d]
+            okd = (ov >= 0) & active
+            bm = tables.bond_mag[jnp.maximum(bm_bond, 0)]
+            ov_safe = jnp.where(okd, ov, N - 1)
+            # no-constant-op neighbor: push its whole worldline
+            zmask = okd & ~has_const[rows, ov_safe]
+            tgt = jnp.where(zmask, M + ov_safe, M + N - 1)
+            w = w.at[rows, tgt].add(
+                jnp.where(zmask & ~popped[rows, tgt], bm, 0.0)
+            )
+            # overlapping segments of the neighbor
+            cand = (cvar == ov_safe[None, :]) & valid & okd[None, :]  # [M, R]
+            ovl = _cyc_overlap(
+                ps[None, :], pln[None, :], seg_s, seg_ln, M
+            )
+            addm = cand & ovl & ~popped[:, :M].T
+            w = w.at[:, :M].add(jnp.where(addm, bm[None, :], 0.0).T)
+
+        remaining = remaining - active.astype(jnp.int32)
+        return w, popped, remaining, key
+
+    def cond(carry):
+        w, popped, remaining, _ = carry
+        return jnp.any((remaining > 0) & (jnp.sum(w, axis=1) > 0))
+
+    w, popped, _, _ = jax.lax.while_loop(
+        cond, body, (w0, popped0, n_pops, k_pops)
+    )
+    return popped
+
+
+def _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid):
+    """Derive ``in_cluster0: bool[R, N]`` (cluster membership at p=0) and
+    ``is_toggle: bool[M, R]`` (slots whose constant op bounds the cluster)
+    from the popped element set (``rvb.rs:175-196`` toggle bookkeeping with
+    ``remove_doubles`` parity)."""
+    M, R = ops.bond.shape
+    N = model.nvars
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
+
+    pf = popped[:, :M].T & valid  # [M, R] popped flip elements
+    s = cpos
+    e = _take0(cpos, cnext)
+
+    # Toggle parity at segment start and end positions.
+    cnt = jnp.zeros((M, R), jnp.int32)
+    cnt = cnt.at[s, rows].add(pf.astype(jnp.int32))
+    cnt = cnt.at[e, rows].add(pf.astype(jnp.int32))
+    is_toggle = (cnt % 2) == 1
+
+    # p=0 membership: wrapping segments (e <= s) plus whole-worldline vars.
+    wrap = pf & (e <= s)
+    icnt = jnp.zeros((R, N + 1), jnp.int32)
+    icnt = icnt.at[rows.ravel(), cvar.ravel()].add(
+        wrap.ravel().astype(jnp.int32), mode="drop"
+    )
+    in0 = (icnt[:, :N] % 2) == 1
+    in0 = in0 | popped[:, M:]
+    return in0, is_toggle
+
+
+def _edge_weight(model, b_safe, sa, sb):
+    """Diagonal weight of edge bond ``b`` given endpoint spins (bit0 = first
+    leg)."""
+    si = sa.astype(jnp.int32) + 2 * sb.astype(jnp.int32)
+    return model.diag_w[b_safe, si]
+
+
+def _boundary_contrib(model, tables, substate, incl, u, rows):
+    """Sum over edge bonds adjacent to var ``u`` of the boundary-bond weights
+    (before, after) under the current state. Returns ``(wb, wa): f32[R]``."""
+    D = tables.neigh_bond.shape[1]
+    wb = jnp.zeros(u.shape, jnp.float32)
+    wa = jnp.zeros(u.shape, jnp.float32)
+    flipped = substate ^ incl
+    for d in range(D):
+        e = tables.neigh_bond[u, d]
+        ov = tables.neigh_var[u, d]
+        ok = e >= 0
+        e_s = jnp.maximum(e, 0)
+        ov_s = jnp.maximum(ov, 0)
+        bdry = incl[rows, u] ^ incl[rows, ov_s]
+        m = (ok & bdry).astype(jnp.float32)
+        wb = wb + m * _edge_weight(
+            model, e_s, substate[rows, u], substate[rows, ov_s]
+        )
+        wa = wa + m * _edge_weight(
+            model, e_s, flipped[rows, u], flipped[rows, ov_s]
+        )
+    return wb, wa
+
+
+def _initial_totals(model, tables, substate, incl):
+    """Direct O(NE) boundary-weight totals (before, after): f32[R]."""
+    ne = tables.nedges
+    va = model.bond_vars[:ne, 0]  # [NE]
+    vb = model.bond_vars[:ne, 1]
+    bdry = incl[:, va] ^ incl[:, vb]  # [R, NE]
+    flipped = substate ^ incl
+    e_ids = jnp.arange(ne, dtype=jnp.int32)[None, :]
+    wb = _edge_weight(model, e_ids, substate[:, va], substate[:, vb])
+    wa = _edge_weight(model, e_ids, flipped[:, va], flipped[:, vb])
+    m = bdry.astype(jnp.float32)
+    return jnp.sum(m * wb, axis=1), jnp.sum(m * wa, axis=1), (va, vb)
+
+
+def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
+    """``calculate_flip_prob`` (``rvb.rs:649-946``) as a dense scan.
+
+    Returns ``p_accept: f32[R]``.
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    rows = jnp.arange(R)
+    ne = tables.nedges
+
+    wb0, wa0, _ = _initial_totals(model, tables, state, in0)
+    logm0 = jnp.zeros((R,), jnp.float32)
+
+    def step(carry, xs):
+        substate, incl, wb_tot, wa_tot, logm = carry
+        bond_p, in_p, out_p, tog_p = xs  # [R], [K,R], [K,R], [R]
+        occ = bond_p >= 0
+        b = jnp.maximum(bond_p, 0)
+        vars_p = jnp.moveaxis(model.bond_vars[b], -1, 0)  # [K, R]
+        leg_ok = (vars_p >= 0) & occ[None]
+        arity = jnp.sum(leg_ok, axis=0)
+        is_diag_p = jnp.all(in_p == out_p, axis=0)
+
+        va = jnp.maximum(vars_p[0], 0)
+        vb = jnp.maximum(vars_p[1] if K > 1 else vars_p[0], 0)
+        bdry = incl[rows, va] ^ incl[rows, vb]
+        is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
+
+        # Boundary diagonal lattice ops: weight-ratio factor (rvb.rs:845-852
+        # accumulated, committed at rvb.rs:886-893; totals are constant
+        # between change events so per-op multiplication is identical).
+        logm = logm + jnp.where(
+            is_boundary_op,
+            jnp.log(jnp.maximum(wa_tot, _TINY))
+            - jnp.log(jnp.maximum(wb_tot, _TINY)),
+            0.0,
+        )
+
+        # Completely-in-cluster Ising flip ratio (rvb.rs:873-879), with the
+        # pre-toggle cluster state (mirrors the reference's evaluation order).
+        in_leg = incl[rows[None, :], jnp.maximum(vars_p, 0)] | ~leg_ok
+        completely_in = jnp.all(in_leg, axis=0) & occ & (arity > 0)
+        legmask = jnp.where(
+            jnp.arange(K, dtype=jnp.int32)[:, None] < arity[None, :], 1, 0
+        )
+        mask_bits = substate_index(legmask.astype(bool))
+        si = substate_index(in_p)
+        so = substate_index(out_p)
+        if model.full_w is not None:
+            w_cur = model.full_w[b, si, so]
+            w_flip = model.full_w[b, si ^ mask_bits, so ^ mask_bits]
+        else:
+            w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
+            w_flip = jnp.where(si == so, model.diag_w[b, si ^ mask_bits], 0.0)
+        ratio_ok = completely_in & ~is_boundary_op
+        logm = logm + jnp.where(
+            ratio_ok,
+            jnp.log(jnp.maximum(w_flip, _TINY))
+            - jnp.log(jnp.maximum(w_cur, _TINY)),
+            0.0,
+        )
+
+        # Events: cluster-bound toggle (constant op) and/or off-diagonal spin
+        # flip. Per-leg sequential updates keep the incremental totals exact.
+        is_cb = tog_p & occ
+        will_flip = occ & ~is_diag_p
+        for l in range(K):
+            u_var = jnp.maximum(vars_p[l], 0)
+            ev_tog = is_cb & (l == 0)
+            ev_flip = will_flip & leg_ok[l]
+            ev = ev_tog | ev_flip
+            old_b, old_a = _boundary_contrib(
+                model, tables, substate, incl, u_var, rows
+            )
+            new_in_u = jnp.where(ev_tog, ~incl[rows, u_var], incl[rows, u_var])
+            incl = incl.at[rows, u_var].set(
+                jnp.where(ev, new_in_u, incl[rows, u_var])
+            )
+            new_s_u = jnp.where(
+                ev_flip, out_p[l], substate[rows, u_var]
+            )
+            substate = substate.at[rows, u_var].set(new_s_u)
+            new_b, new_a = _boundary_contrib(
+                model, tables, substate, incl, u_var, rows
+            )
+            dm = ev.astype(jnp.float32)
+            wb_tot = wb_tot + dm * (new_b - old_b)
+            wa_tot = wa_tot + dm * (new_a - old_a)
+
+        return (substate, incl, wb_tot, wa_tot, logm), None
+
+    xs = (
+        ops.bond,
+        jnp.moveaxis(ops.inputs, 1, 0),
+        jnp.moveaxis(ops.outputs, 1, 0),
+        is_toggle,
+    )
+    (_, _, _, _, logm), _ = jax.lax.scan(
+        step, (state, in0, wb0, wa0, logm0), xs
+    )
+    return jnp.minimum(jnp.exp(logm), 1.0)
+
+
+def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
+    """``mutate_graph`` (``rvb.rs:294-615``) as a dense scan emitting the new
+    op arrays; non-accepting replicas keep their originals."""
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    rows = jnp.arange(R)
+    ne = tables.nedges
+
+    substate0 = state ^ in0  # mutation tracks the flipped configuration
+    va_e = model.bond_vars[:ne, 0]
+    vb_e = model.bond_vars[:ne, 1]
+    e_ids = jnp.arange(ne, dtype=jnp.int32)[None, :]
+
+    def wvec_of(substate, incl):
+        bdry = incl[:, va_e] ^ incl[:, vb_e]
+        w = _edge_weight(model, e_ids, substate[:, va_e], substate[:, vb_e])
+        return jnp.where(bdry, w, 0.0)  # [R, NE]
+
+    wvec0 = wvec_of(substate0, in0)
+
+    def step(carry, xs):
+        substate, incl, wvec, key = carry
+        bond_p, in_p, out_p, tog_p = xs
+        key, k_rot = jax.random.split(key)
+        occ = bond_p >= 0
+        b = jnp.maximum(bond_p, 0)
+        vars_p = jnp.moveaxis(model.bond_vars[b], -1, 0)  # [K, R]
+        leg_ok = (vars_p >= 0) & occ[None]
+        arity = jnp.sum(leg_ok, axis=0)
+        is_diag_p = jnp.all(in_p == out_p, axis=0)
+
+        va = jnp.maximum(vars_p[0], 0)
+        vb = jnp.maximum(vars_p[1] if K > 1 else vars_p[0], 0)
+        bdry = incl[rows, va] ^ incl[rows, vb]
+        is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
+        is_cb = tog_p & occ
+        in_leg = incl[rows[None, :], jnp.maximum(vars_p, 0)] | ~leg_ok
+        completely_in = jnp.all(in_leg, axis=0) & occ & (arity > 0)
+
+        # --- boundary-bond rotation (rvb.rs:413-434): sample new bond by
+        # weight via Gumbel-argmax over the boundary-weight vector.
+        g = jax.random.gumbel(k_rot, (R, ne))
+        score = jnp.where(
+            wvec > 0, jnp.log(jnp.maximum(wvec, _TINY)) + g, -jnp.inf
+        )
+        b_new = jnp.argmax(score, axis=1).astype(jnp.int32)
+        rot_vars = jnp.stack([va_e[b_new], vb_e[b_new]])  # [2, R]
+        rot_bits = jnp.stack(
+            [substate[rows, rot_vars[0]], substate[rows, rot_vars[1]]]
+        )  # [2, R]
+
+        do_rot = is_boundary_op & accept
+        new_bond = jnp.where(do_rot, b_new, bond_p)
+        new_in = in_p
+        new_out = out_p
+        if K == 2:
+            new_in = jnp.where(do_rot[None], rot_bits, new_in)
+            new_out = jnp.where(do_rot[None], rot_bits, new_out)
+        else:  # generic K: place the two legs, pad others False
+            pad = jnp.zeros((K - 2, R), bool)
+            rb = jnp.concatenate([rot_bits, pad], axis=0)
+            new_in = jnp.where(do_rot[None], rb, new_in)
+            new_out = jnp.where(do_rot[None], rb, new_out)
+
+        # --- cluster-bound constant ops (rvb.rs:446-476): in ^= c,
+        # out ^= !c with the pre-toggle cluster state.
+        c_pre = incl[rows, va]
+        do_cb = is_cb & accept & ~do_rot
+        cb_in = in_p[0] ^ c_pre
+        cb_out = out_p[0] ^ (~c_pre)
+        new_in = new_in.at[0].set(jnp.where(do_cb, cb_in, new_in[0]))
+        new_out = new_out.at[0].set(jnp.where(do_cb, cb_out, new_out[0]))
+
+        # --- completely-in-cluster ops flip symmetrically (rvb.rs:513-531).
+        do_flip_sym = completely_in & accept & ~do_rot & ~do_cb
+        new_in = jnp.where(do_flip_sym[None] & leg_ok, ~new_in, new_in)
+        new_out = jnp.where(do_flip_sym[None] & leg_ok, ~new_out, new_out)
+
+        # --- state / cluster / weight-vector maintenance ------------------
+        # Toggle cluster membership at cluster bounds.
+        will_offdiag = jnp.any(new_in != new_out, axis=0) & occ
+        for l in range(K):
+            u_var = jnp.maximum(vars_p[l], 0)
+            ev_tog = do_cb & (l == 0)
+            # substate follows the (new) outputs of off-diagonal ops, for
+            # accepted replicas the rewritten op, otherwise the original.
+            out_l = jnp.where(accept, new_out[l], out_p[l])
+            offd = jnp.where(accept, will_offdiag, occ & ~is_diag_p)
+            ev_flip = offd & leg_ok[l] & ~do_rot
+            ev = ev_tog | ev_flip
+            incl = incl.at[rows, u_var].set(
+                jnp.where(ev_tog, ~incl[rows, u_var], incl[rows, u_var])
+            )
+            substate = substate.at[rows, u_var].set(
+                jnp.where(ev, out_l, substate[rows, u_var])
+            )
+            # refresh boundary weights of bonds adjacent to the event var
+            D = tables.neigh_bond.shape[1]
+            for d in range(D):
+                e = tables.neigh_bond[u_var, d]
+                ov = tables.neigh_var[u_var, d]
+                ok = (e >= 0) & ev
+                e_s = jnp.maximum(e, 0)
+                ov_s = jnp.maximum(ov, 0)
+                bdry_e = incl[rows, u_var] ^ incl[rows, ov_s]
+                w_e = _edge_weight(
+                    model, e_s, substate[rows, u_var], substate[rows, ov_s]
+                )
+                val = jnp.where(bdry_e, w_e, 0.0)
+                wvec = wvec.at[rows, e_s].set(
+                    jnp.where(ok, val, wvec[rows, e_s])
+                )
+
+        return (substate, incl, wvec, key), (new_bond, new_in, new_out)
+
+    xs = (
+        ops.bond,
+        jnp.moveaxis(ops.inputs, 1, 0),
+        jnp.moveaxis(ops.outputs, 1, 0),
+        is_toggle,
+    )
+    (_, _, _, _), (nb, ni, no) = jax.lax.scan(
+        step, (substate0, in0, wvec0, key), xs
+    )
+    ni = jnp.moveaxis(ni, 0, 1)  # [K, M, R]
+    no = jnp.moveaxis(no, 0, 1)
+    acc_m = accept[None, :]
+    new_ops = OpString(
+        bond=jnp.where(acc_m, nb, ops.bond),
+        inputs=jnp.where(acc_m[None], ni, ops.inputs),
+        outputs=jnp.where(acc_m[None], no, ops.outputs),
+    )
+    new_state = state ^ (in0 & accept[:, None])
+    return new_ops, new_state
+
+
+def rvb_update_once(
+    ops: OpString,
+    state: jax.Array,
+    key: jax.Array,
+    model: BondModel,
+    tables: RvbTables,
+) -> tuple[OpString, jax.Array, jax.Array]:
+    """One RVB update per replica. Returns ``(ops, state, accepted bool[R])``."""
+    k_build, k_acc, k_mut = jax.random.split(key, 3)
+    cvar, cpos, cnext, valid, ncount, has_const = _const_inventory(ops, model)
+    popped = _build_cluster(
+        k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
+    )
+    in0, is_toggle = _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid)
+    p_acc = _acceptance_scan(ops, state, model, tables, in0, is_toggle)
+    accept = jax.random.uniform(k_acc, p_acc.shape) < p_acc
+    new_ops, new_state = _mutation_scan(
+        ops, state, model, tables, in0, is_toggle, accept, k_mut
+    )
+    return new_ops, new_state, accept
+
+
+@functools.partial(jax.jit, static_argnames=("n_updates",))
+def rvb_sweep(
+    ops: OpString,
+    state: jax.Array,
+    key: jax.Array,
+    model: BondModel,
+    tables: RvbTables,
+    n_updates: int,
+) -> tuple[OpString, jax.Array, jax.Array]:
+    """``n_updates`` sequential RVB updates (the reference runs
+    ``(nvars+1)/2`` per timestep, ``qmc_ising.rs:705-710``). Returns
+    ``(ops, state, successes i32[R])``."""
+
+    def body(carry, k):
+        ops, state, succ = carry
+        ops, state, acc = rvb_update_once(ops, state, k, model, tables)
+        return (ops, state, succ + acc.astype(jnp.int32)), None
+
+    keys = jax.random.split(key, n_updates)
+    (ops, state, succ), _ = jax.lax.scan(
+        body, (ops, state, jnp.zeros(state.shape[0], jnp.int32)), keys
+    )
+    return ops, state, succ
