@@ -54,7 +54,10 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     divide the extra sweeps by the extra time. This removes the constant
     host<->device dispatch latency (tens of ms over the axon tunnel), which
     would otherwise dominate and misstate the on-chip rate; a device-to-host
-    scalar read (``float(s)``) forces real completion of each run."""
+    scalar read (``float(s)``) forces real completion of each run.
+
+    On TPU with 128-aligned lattices the Pallas multi-sweep kernel is used
+    (spins stay in VMEM across all sweeps); otherwise the XLA path."""
     key = jax.random.key(0)
     key, k0 = jax.random.split(key)
     spins = jax.random.bernoulli(k0, 0.5, (replicas, L, L))
@@ -62,22 +65,34 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     j = jnp.float32(-1.0)
     h = jnp.float32(0.0)
 
+    use_pallas = jax.devices()[0].platform == "tpu" and L % 128 == 0
+    if use_pallas:
+        from isingmontecarlo_tpu.ops import checkerboard_multi_sweep
+
+        def run(sp, sd, n):
+            out = checkerboard_multi_sweep(sp, sd, beta, j, h, n)
+            return out, jnp.sum(out)
+
+    else:
+
+        def run(sp, sd, n):
+            return _cb_run(sp, jax.random.key(sd), beta, j, h, n)
+
     n_small, n_big = nsweeps, 5 * nsweeps
 
     def timed(n: int) -> float:
-        nonlocal spins, key
+        nonlocal spins
         best = float("inf")
-        for _ in range(reps):
-            key, sub = jax.random.split(key)
+        for r in range(reps):
             t0 = time.perf_counter()
-            spins, s = _cb_run(spins, sub, beta, j, h, n)
+            spins, s = run(spins, jnp.int32(r * 7919 + n), n)
             float(s)  # forces completion through the tunnel
             best = min(best, time.perf_counter() - t0)
         return best
 
     # Warmup / compile both run lengths.
     for n in (n_small, n_big):
-        spins, s = _cb_run(spins, key, beta, j, h, n)
+        spins, s = run(spins, jnp.int32(0), n)
         float(s)
 
     t_small = timed(n_small)
@@ -89,6 +104,7 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
         "seconds_small": t_small,
         "seconds_big": t_big,
         "sweeps_per_sec": replicas * (n_big - n_small) / dt,
+        "path": "pallas" if use_pallas else "xla",
     }
 
 

@@ -30,14 +30,17 @@ Layout (mirrors the reference layer map, SURVEY.md section 1):
 
 __version__ = "0.1.0"
 
-from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu import checkpoint, lattice
 from isingmontecarlo_tpu.classical import GraphState
+from isingmontecarlo_tpu.parallel import TemperingContainer
 from isingmontecarlo_tpu.sse import QmcIsingGraph, Qmc
 
 __all__ = [
+    "checkpoint",
     "lattice",
     "GraphState",
     "QmcIsingGraph",
     "Qmc",
+    "TemperingContainer",
     "__version__",
 ]

@@ -243,6 +243,38 @@ def checkerboard_sweep(
     return spins
 
 
+def lattice_multi_sweep(
+    spins: jax.Array,  # bool[R, L, L]
+    seed: int,
+    beta,
+    j,
+    h,
+    nsweeps: int,
+) -> jax.Array:
+    """``nsweeps`` checkerboard sweeps with automatic backend dispatch: the
+    Pallas VMEM-resident kernel on TPU for 128-aligned lattices (one HBM load
+    + store total), otherwise the fused XLA scan."""
+    L = spins.shape[-1]
+    if jax.devices()[0].platform == "tpu" and L % 128 == 0:
+        from isingmontecarlo_tpu.ops import checkerboard_multi_sweep
+
+        return checkerboard_multi_sweep(
+            spins, jnp.int32(seed), jnp.float32(beta), jnp.float32(j),
+            jnp.float32(h), nsweeps,
+        )
+
+    def body(carry, _):
+        sp, key = carry
+        key, sub = jax.random.split(key)
+        sp = checkerboard_sweep(sp, sub, jnp.float32(beta), jnp.float32(j), jnp.float32(h))
+        return (sp, key), None
+
+    (sp, _), _ = jax.lax.scan(
+        body, (spins, jax.random.key(seed)), None, length=nsweeps
+    )
+    return sp
+
+
 def lattice_energy(spins: jax.Array, j: jax.Array, h: jax.Array) -> jax.Array:
     """Energy per replica for the uniform periodic lattice fast path."""
     s = sigma(spins)

@@ -16,10 +16,17 @@ Semantics of a single worm (reference ``do_worm_flip``):
 4. On success, the net-flipped set (XOR of the visit path) is accepted or
    reverted with a Metropolis test on the longitudinal-bias energy change.
 
+Double moves (``WormMove::Double``, ``graph.rs:224-240``): from endpoint
+``v``, besides single flips of each neighbor ``ov``, the candidate set also
+contains pairs ``(ov, oov)`` — flip ``ov`` and one of *its* neighbors
+``oov`` — with combined ``dE = c(ov) + c(oov) + 4 J(ov,oov) sigma_ov
+sigma_oov`` (the cross term corrects ``c(oov)`` for ``ov`` having flipped).
+After a double move the new endpoint is ``oov`` and ``ov`` becomes the banned
+back-step. Turn-arounds re-apply the previous move reversed
+(``graph.rs:252-262``).
+
 Deviations from the reference:
 
-- Double moves (``WormMove::Double``, ``graph.rs:224-240``) are not yet
-  implemented; the walk uses single-site moves only.
 - The final bias Metropolis test uses the physical energy change
   ``dE_bias = sum_v 2 h_v sigma_v^{before}`` of the net flip. The reference
   evaluates ``2 h_v sigma_v^{after}`` (``graph.rs:303-306``), which is the
@@ -50,6 +57,8 @@ class _WormCarry(NamedTuple):
     flipped: jax.Array  # bool[R, N]  net parity of flips (visit path XOR)
     cur: jax.Array  # i32[R]     current worm endpoint
     last: jax.Array  # i32[R]     site we came from
+    mv_a: jax.Array  # i32[R]     previous move, first site
+    mv_b: jax.Array  # i32[R]     previous move, second site (== mv_a if single)
     steps: jax.Array  # i32[R]
     done: jax.Array  # bool[R]
     failed: jax.Array  # bool[R]
@@ -98,16 +107,25 @@ def _choose(key, weights):
     return jnp.where(total > 0, idx, -1)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("allow_doubles",))
 def worm_sweep(
     spins: jax.Array,
     key: jax.Array,
     beta: jax.Array,
     tables: GraphTables,
+    allow_doubles: bool = True,
 ) -> jax.Array:
-    """Run one worm update per replica. ``spins: bool[R, N]`` -> updated."""
+    """Run one worm update per replica. ``spins: bool[R, N]`` -> updated.
+
+    ``allow_doubles`` enables the reference's two-site worm moves
+    (``graph.rs:224-240``; the main move path passes ``true``,
+    ``graph.rs:389-397``).
+    """
     R, N = spins.shape
+    D = tables.neigh.shape[1]
     beta = jnp.asarray(beta, jnp.float32)
+    neigh = jnp.where(tables.neigh >= 0, tables.neigh, 0)  # [N, D]
+    njw = jnp.where(tables.neigh >= 0, tables.nj, 0.0)
 
     key, k_start = jax.random.split(key)
     start = jax.random.randint(k_start, (R,), 0, N)
@@ -123,6 +141,8 @@ def worm_sweep(
         flipped=flipped,
         cur=start,
         last=start,
+        mv_a=start,
+        mv_b=start,
         steps=jnp.zeros((R,), jnp.int32),
         done=jnp.zeros((R,), bool),
         failed=jnp.zeros((R,), bool),
@@ -132,40 +152,109 @@ def worm_sweep(
     def cond(c: _WormCarry):
         return jnp.any(~(c.done | c.failed))
 
+    def _cvals(spins_b):
+        """Coupling-only flip dE of every site: f32[R, N]."""
+        from isingmontecarlo_tpu.classical.metropolis import local_field
+
+        return -2.0 * sigma(spins_b) * local_field(spins_b, tables)
+
     def body(c: _WormCarry) -> _WormCarry:
         key, k_choice = jax.random.split(c.key)
-        cand, de, valid = _delta_e_candidates(c.spins, tables, c.cur)
-        valid &= cand != c.last[:, None]
-        is_cont = valid & (jnp.abs(de) < _EPS)
-        is_res = valid & (jnp.abs(de + starting_e[:, None]) < _EPS)
+        s = sigma(c.spins)  # [R, N]
+        cvals = _cvals(c.spins)  # [R, N]
+
+        # Single candidates: each neighbor ov of the endpoint.
+        ov = neigh[c.cur]  # [R, D]
+        valid_ov = (tables.neigh[c.cur] >= 0) & (ov != c.last[:, None])
+        de_s = jnp.take_along_axis(cvals, ov, axis=1)  # [R, D]
+
+        if allow_doubles:
+            # Double candidates (ov, oov): dE = c(ov) + c(oov)
+            #   + 4 J(ov,oov) sigma_ov sigma_oov  (graph.rs:224-240).
+            oov = neigh[ov]  # [R, D, D]
+            j2 = njw[ov]  # [R, D, D]
+            valid_oov = (
+                valid_ov[:, :, None]
+                & (tables.neigh[ov] >= 0)
+                & (oov != c.cur[:, None, None])
+                & (oov != ov[:, :, None])
+            )
+            c_oov = jnp.take_along_axis(
+                cvals[:, None, :].repeat(D, axis=1).reshape(R * D, N),
+                oov.reshape(R * D, D),
+                axis=1,
+            ).reshape(R, D, D)
+            s_ov = jnp.take_along_axis(s, ov, axis=1)[:, :, None]  # [R, D, 1]
+            s_oov = jnp.take_along_axis(
+                s[:, None, :].repeat(D, axis=1).reshape(R * D, N),
+                oov.reshape(R * D, D),
+                axis=1,
+            ).reshape(R, D, D)
+            de_d = de_s[:, :, None] + c_oov + 4.0 * j2 * s_ov * s_oov
+            # Combined candidate vector: [R, D + D*D].
+            all_de = jnp.concatenate([de_s, de_d.reshape(R, D * D)], axis=1)
+            all_valid = jnp.concatenate(
+                [valid_ov, valid_oov.reshape(R, D * D)], axis=1
+            )
+        else:
+            all_de = de_s
+            all_valid = valid_ov
+
+        is_cont = all_valid & (jnp.abs(all_de) < _EPS)
+        is_res = all_valid & (jnp.abs(all_de + starting_e[:, None]) < _EPS)
         any_res = jnp.any(is_res, axis=-1)
         cand_mask = jnp.where(any_res[:, None], is_res, is_cont | is_res)
 
         choice = _choose(k_choice, cand_mask.astype(jnp.float32))
         has_choice = choice >= 0
-        safe_choice = jnp.maximum(choice, 0)
-        move_var = jnp.where(
-            has_choice, cand[rows, safe_choice], c.cur
-        )  # turn-around re-flips the endpoint (graph.rs:250-262)
-        move_de = jnp.where(
-            has_choice,
-            de[rows, safe_choice],
-            _coupling_delta_e(c.spins, tables, c.cur),
+        safe = jnp.maximum(choice, 0)
+        is_double_choice = has_choice & (safe >= D) if allow_doubles else jnp.zeros((R,), bool)
+        d1 = jnp.where(safe >= D, (safe - D) // D, safe)
+        d2 = jnp.where(safe >= D, (safe - D) % D, 0)
+        mv_a_sel = ov[rows, d1]  # ov (or the single move var)
+        oov_sel = neigh[mv_a_sel][rows, d2]
+        mv_b_sel = jnp.where(is_double_choice, oov_sel, mv_a_sel)
+
+        # Turn-around: re-apply the previous move reversed
+        # (graph.rs:252-262). Reversed double (a, b) -> (b, a).
+        ta_a = jnp.where(c.mv_a == c.mv_b, c.cur, c.mv_b)
+        ta_b = jnp.where(c.mv_a == c.mv_b, c.cur, c.mv_a)
+
+        mv_a = jnp.where(has_choice, mv_a_sel, ta_a)
+        mv_b = jnp.where(has_choice, mv_b_sel, ta_b)
+        is_double = mv_a != mv_b
+
+        # dE of the applied move under the current state.
+        c_a = cvals[rows, mv_a]
+        c_b = cvals[rows, mv_b]
+        jab = jnp.sum(
+            jnp.where(neigh[mv_a] == mv_b[:, None], njw[mv_a], 0.0), axis=1
         )
+        de_pair = c_a + c_b + 4.0 * jab * s[rows, mv_a] * s[rows, mv_b]
+        move_de = jnp.where(is_double, de_pair, c_a)
 
         active = ~(c.done | c.failed)
-        new_spins = c.spins.at[rows, move_var].set(
-            jnp.where(active, ~c.spins[rows, move_var], c.spins[rows, move_var])
+        # Flip mv_a, then mv_b where double.
+        new_spins = c.spins.at[rows, mv_a].set(
+            jnp.where(active, ~c.spins[rows, mv_a], c.spins[rows, mv_a])
         )
-        new_flipped = c.flipped.at[rows, move_var].set(
-            jnp.where(active, ~c.flipped[rows, move_var], c.flipped[rows, move_var])
+        new_spins = new_spins.at[rows, mv_b].set(
+            jnp.where(active & is_double, ~new_spins[rows, mv_b], new_spins[rows, mv_b])
         )
-        # After both a normal move and a turn-around, "last" becomes the
-        # previous endpoint (graph.rs:272-278; in the turn-around case the new
-        # endpoint equals the previous one, so this also bans immediate
-        # re-reversal until another neighbor opens up).
-        new_last = c.cur
-        new_cur = move_var
+        new_flipped = c.flipped.at[rows, mv_a].set(
+            jnp.where(active, ~c.flipped[rows, mv_a], c.flipped[rows, mv_a])
+        )
+        new_flipped = new_flipped.at[rows, mv_b].set(
+            jnp.where(
+                active & is_double, ~new_flipped[rows, mv_b], new_flipped[rows, mv_b]
+            )
+        )
+
+        # Endpoint/back-step bookkeeping (graph.rs:272-278): after Single the
+        # banned site is the previous endpoint; after Double(a, b) the
+        # endpoint is b and the banned site is a.
+        new_cur = jnp.where(is_double, mv_b, mv_a)
+        new_last = jnp.where(is_double, mv_a, c.cur)
 
         closed = jnp.abs(move_de + starting_e) < _EPS
         steps = c.steps + 1
@@ -176,6 +265,8 @@ def worm_sweep(
             flipped=new_flipped,
             cur=jnp.where(active, new_cur, c.cur),
             last=jnp.where(active, new_last, c.last),
+            mv_a=jnp.where(active, mv_a, c.mv_a),
+            mv_b=jnp.where(active, mv_b, c.mv_b),
             steps=jnp.where(active, steps, c.steps),
             done=c.done | (active & closed),
             failed=c.failed | (active & ~closed & too_long),

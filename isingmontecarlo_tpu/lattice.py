@@ -46,8 +46,15 @@ def adjacency(
     ``graph.rs:69-80``, as dense padded tables).
 
     Returns ``(neigh, nj)`` with shapes ``[N, D]``; ``neigh == -1`` marks
-    padding and ``nj`` is zero there.
+    padding and ``nj`` is zero there. Uses the native C++ graph compiler when
+    available (:mod:`isingmontecarlo_tpu.native`), else pure Python.
     """
+    from isingmontecarlo_tpu import native
+
+    ev, ej = edge_arrays(edges)
+    out = native.adjacency(nvars, ev, ej) if len(edges) else None
+    if out is not None:
+        return out
     lists: list[list[tuple[int, float]]] = [[] for _ in range(nvars)]
     for (a, b), j in edges:
         lists[a].append((b, j))
@@ -72,6 +79,13 @@ def greedy_coloring(nvars: int, edges: Sequence[tuple[Edge, float]]) -> np.ndarr
     in parallel (the TPU replacement for the reference's one-random-site
     updates, ``graph.rs:91-119``).
     """
+    from isingmontecarlo_tpu import native
+
+    if edges:
+        ev, _ = edge_arrays(edges)
+        out = native.vertex_coloring(nvars, ev)
+        if out is not None:
+            return out
     adj: list[set[int]] = [set() for _ in range(nvars)]
     for (a, b), _ in edges:
         adj[a].add(b)
@@ -99,6 +113,13 @@ def greedy_edge_coloring(
     distance-2-separated edges have independent Metropolis factors and may be
     accepted simultaneously.
     """
+    from isingmontecarlo_tpu import native
+
+    if edges:
+        ev, _ = edge_arrays(edges)
+        out = native.edge_coloring(nvars, ev)
+        if out is not None:
+            return out
     adj: list[set[int]] = [set() for _ in range(nvars)]
     for (a, b), _ in edges:
         adj[a].add(b)

@@ -1,22 +1,34 @@
 """Parallel tempering — reference ``src/sse/parallel_tempering/``.
 
 The reference holds ``Vec<(QmcGraph, beta)>`` replicas and swaps *pointers*
-between neighbors with acceptance ``(beta_a/beta_b)^(n_b - n_a) * W_rel``
+between neighbors with acceptance
+``p = (beta_a/beta_b)^(n_b - n_a) * W_rel(a under b) * W_rel(b under a)``
 (``tempering_container.rs:274-302``), alternating even/odd neighbor pairs,
-optionally running replicas on rayon threads (``:315-478``).
+optionally running replicas on rayon threads (``:315-478``). For Ising graphs
+the Hamiltonian-ratio term is computed in O(bonds) from per-bond op counters
+(``tempering_traits.rs:117-155``).
 
 TPU-native redesign (SURVEY.md sections 2 and 5): replicas are a batch axis
-``R`` carrying a per-replica inverse temperature ``beta[R]`` (the SSE updates
-already accept vector beta). A replica exchange swaps the *beta labels*
-between the two chains instead of moving op-string payloads — states live in
-identical fixed shapes, so exchanging labels is exactly equivalent and costs
-O(R) instead of O(R*M). Neighbor pairs are adjacent ranks in beta-sorted
-order. The replica axis shards over a `jax.sharding.Mesh`; the only
-cross-device traffic is the tiny ``beta``/``n`` vectors.
+``R`` carrying per-replica inverse temperatures ``beta[R]`` and, optionally,
+per-replica Hamiltonian *class multipliers* ``(J-scale, transverse-scale,
+longitudinal-scale)`` — the TFIM bond classes of ``qmc_ising.rs:186-205``. A
+replica exchange swaps the parameter *labels* between two chains instead of
+moving op-string payloads: states live in identical fixed shapes, so
+exchanging labels is exactly equivalent and costs O(R) instead of O(R*M).
+Neighbor pairs are adjacent ranks in beta-sorted order. The swap acceptance
+in label space is
 
-When all replicas share one Hamiltonian, ``W_rel = 1`` and the swap test
-needs only the op counts (``tempering_traits.rs:117-155`` fast path; the
-Hamiltonian-ratio term for heterogeneous-J ensembles is a later-round item).
+``log p = (n_b - n_a) log(beta_a/beta_b)
+          + sum_class (n_class_b - n_class_a) log(c_a/c_b)``
+
+with per-class op counts from the on-device bond counters — the same math as
+the reference's ``relative_weight`` product. The replica axis shards over a
+`jax.sharding.Mesh` (see ``__graft_entry__.dryrun_multichip``); the only
+cross-device traffic is the tiny ``(beta, n)`` vectors.
+
+Class multipliers only enter the *diagonal* update (as ``bond_scale``):
+cluster, loop, and RVB updates use ratios of same-bond or same-class weights
+where a class-uniform multiplier cancels.
 """
 
 from __future__ import annotations
@@ -31,6 +43,16 @@ import numpy as np
 from isingmontecarlo_tpu.sse import opstring as _ops
 from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
 
+N_CLASSES = 3  # two-site, transverse, longitudinal (qmc_ising.rs:186-205)
+
+
+def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
+    """i32[NB] class id per bond for the TFIM layout."""
+    cls = np.full(nbonds, 2, np.int32)
+    cls[:nedges] = 0
+    cls[nedges : nedges + nvars] = 1
+    return jnp.asarray(cls)
+
 
 @functools.partial(jax.jit, static_argnames=("parity",))
 def tempering_step(
@@ -38,13 +60,13 @@ def tempering_step(
     betas: jax.Array,  # f32[R]
     key: jax.Array,
     parity: int,  # 0: pairs (0,1),(2,3)...; 1: pairs (1,2),(3,4)...
+    n_class: jax.Array | None = None,  # i32[R, C] per-class op counts
+    log_c: jax.Array | None = None,  # f32[R, C] log class multipliers
 ) -> tuple[jax.Array, jax.Array]:
-    """One neighbor-swap sweep. Returns ``(new_betas, n_swaps)``.
-
-    Acceptance ``p = (beta_a/beta_b)^(n_b - n_a)`` for the beta-adjacent pair
-    (a = lower beta), mirroring ``swap_on_chunks``
-    (``tempering_container.rs:274-302``) with equal Hamiltonians.
-    """
+    """One neighbor-swap sweep. Returns ``(perm i32[R], n_swaps)`` where
+    ``perm[r]`` is the replica whose parameter labels replica ``r`` takes
+    (identity where no swap), mirroring ``swap_on_chunks``
+    (``tempering_container.rs:274-302``)."""
     R = betas.shape[0]
     order = jnp.argsort(betas)  # ascending beta, rank -> replica
     b_sorted = betas[order]
@@ -55,10 +77,18 @@ def tempering_step(
 
     b_next = jnp.roll(b_sorted, -1)
     n_next = jnp.roll(n_sorted, -1)
-    # log p_swap at pair-start ranks: (n_b - n_a) (log beta_a - log beta_b)
+    # log p at pair-start ranks: (n_b - n_a)(log beta_a - log beta_b)
     logp = (n_next - n_sorted) * (
         jnp.log(jnp.maximum(b_sorted, 1e-30)) - jnp.log(jnp.maximum(b_next, 1e-30))
     )
+    if n_class is not None:
+        nc_sorted = n_class[order].astype(jnp.float32)  # [R, C]
+        lc_sorted = log_c[order]  # [R, C]
+        nc_next = jnp.roll(nc_sorted, -1, axis=0)
+        lc_next = jnp.roll(lc_sorted, -1, axis=0)
+        logp = logp + jnp.sum(
+            (nc_next - nc_sorted) * (lc_sorted - lc_next), axis=1
+        )
     u = jax.random.uniform(key, (R,))
     accept_start = is_start & (jnp.log(jnp.maximum(u, 1e-30)) < logp)
     accept_from_prev = jnp.roll(accept_start, 1) & (rank > 0)
@@ -66,9 +96,10 @@ def tempering_step(
     partner_rank = jnp.where(
         accept_start, rank + 1, jnp.where(accept_from_prev, rank - 1, rank)
     )
-    new_b_sorted = b_sorted[partner_rank]
-    new_betas = jnp.zeros_like(betas).at[order].set(new_b_sorted)
-    return new_betas, jnp.sum(accept_start.astype(jnp.int32))
+    # perm in replica space: replica order[rank] takes labels of
+    # replica order[partner_rank].
+    perm = jnp.zeros((R,), jnp.int32).at[order].set(order[partner_rank])
+    return perm, jnp.sum(accept_start.astype(jnp.int32))
 
 
 class TemperingContainer:
@@ -76,9 +107,13 @@ class TemperingContainer:
 
     Mirrors ``TemperingContainer`` / ``ParallelQmcTimeSteps``
     (``tempering_container.rs:53-238, 315-478``): all replicas advance
-    together (that is the batched execution model — the rayon-thread variant
-    *is* the batch axis here), neighbor swaps alternate parity, and sampled
-    states can be grouped by temperature.
+    together (the rayon-thread variant *is* the batch axis here), neighbor
+    swaps alternate parity, and sampled states can be grouped by temperature.
+
+    Heterogeneous ladders: pass per-beta ``transverse_scales`` /
+    ``coupling_scales`` / ``longitudinal_scales`` to temper in field or
+    coupling space as well; swaps then exchange the whole parameter label
+    (the reference's distinct-Hamiltonian graphs, ``tempering_traits.rs``).
     """
 
     def __init__(
@@ -90,6 +125,9 @@ class TemperingContainer:
         betas: Sequence[float],
         replicas_per_beta: int = 1,
         seed: int = 0,
+        transverse_scales: Sequence[float] | None = None,
+        coupling_scales: Sequence[float] | None = None,
+        longitudinal_scales: Sequence[float] | None = None,
     ):
         betas = np.asarray(betas, dtype=np.float32)
         R = len(betas) * replicas_per_beta
@@ -97,6 +135,29 @@ class TemperingContainer:
             edges, transverse, longitudinal, replicas=R, seed=seed
         )
         self.betas = jnp.asarray(np.repeat(betas, replicas_per_beta))
+
+        def expand(x):
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32)
+            assert x.shape == betas.shape, "one scale per beta"
+            return np.repeat(x, replicas_per_beta)
+
+        ts = expand(transverse_scales)
+        cs = expand(coupling_scales)
+        ls = expand(longitudinal_scales)
+        self.hetero = any(s is not None for s in (ts, cs, ls))
+        ones = np.ones(R, np.float32)
+        # scales[r, class]: class 0 = two-site, 1 = transverse, 2 = longitudinal
+        self.scales = jnp.asarray(
+            np.stack(
+                [cs if cs is not None else ones,
+                 ts if ts is not None else ones,
+                 ls if ls is not None else ones], axis=1
+            )
+        )
+        m = self.graph.model
+        self.bond_class = tfim_bond_classes(len(edges), m.nvars, m.nbonds)
         self._parity = 0
         self.total_swaps = 0
         self._key = jax.random.key(seed + 0x7E47)
@@ -108,6 +169,11 @@ class TemperingContainer:
     def _split(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _bond_scale(self) -> jax.Array | None:
+        if not self.hetero:
+            return None
+        return self.scales[:, self.bond_class]  # [R, NB]
 
     # -- mirrors tempering_container.rs:77-81 ------------------------------
     def timesteps(self, t: int, chunk: int = 16) -> None:
@@ -122,6 +188,7 @@ class TemperingContainer:
                 todo,
                 hb=None,
                 heatbath=False,
+                bond_scale=self._bond_scale(),
             )
             done += todo
             self.graph._maybe_grow()
@@ -130,10 +197,19 @@ class TemperingContainer:
     def tempering_step(self) -> int:
         """One alternating-parity neighbor-swap sweep; returns swap count."""
         n = _ops.op_count(self.graph.sse.ops)
-        new_betas, swaps = tempering_step(
-            n, self.betas, self._split(), self._parity
+        if self.hetero:
+            bc = _ops.bond_counts(self.graph.sse.ops, self.graph.model.nbonds)
+            n_class = jnp.zeros((self.replicas, N_CLASSES), jnp.int32)
+            n_class = n_class.at[:, self.bond_class].add(bc)
+            log_c = jnp.log(jnp.maximum(self.scales, 1e-30))
+        else:
+            n_class = log_c = None
+        perm, swaps = tempering_step(
+            n, self.betas, self._split(), self._parity, n_class, log_c
         )
-        self.betas = new_betas
+        self.betas = self.betas[perm]
+        if self.hetero:
+            self.scales = self.scales[perm]
         self._parity = 1 - self._parity
         self.total_swaps += int(swaps)
         return int(swaps)
@@ -164,6 +240,38 @@ class TemperingContainer:
             np.stack(states) if S else np.zeros((0, self.replicas, self.graph.nvars), bool),
             np.stack(bet) if S else np.zeros((0, self.replicas), np.float32),
         )
+
+    # -- per-replica autocorrelations (tempering_container.rs:482-633) -----
+    def calculate_variable_autocorrelations(
+        self, t: int, swap_freq: int = 1, sampling_freq: int | None = None
+    ) -> np.ndarray:
+        """Spin autocorrelation per replica ``f32[R, S]`` (the
+        ``TemperingContainer`` autocorrelation surface)."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+
+        states, _ = self.timesteps_sample(t, swap_freq, sampling_freq)
+        s = 2.0 * jnp.asarray(states, jnp.float32) - 1.0  # [S, R, N]
+        out = []
+        for r in range(self.replicas):
+            out.append(np.asarray(_ac.fft_autocorrelation(s[:, r])))
+        return np.stack(out)
+
+    def calculate_bond_autocorrelations(
+        self, t: int, swap_freq: int = 1, sampling_freq: int | None = None
+    ) -> np.ndarray:
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+        from isingmontecarlo_tpu.lattice import edge_arrays
+
+        states, _ = self.timesteps_sample(t, swap_freq, sampling_freq)
+        ev, ej = edge_arrays(self.graph.edges)
+        out = []
+        for r in range(self.replicas):
+            out.append(
+                np.asarray(
+                    _ac.bond_autocorrelation(jnp.asarray(states[:, r : r + 1]), ev, ej)
+                )
+            )
+        return np.stack(out)
 
     def states_by_temperature(self):
         """Current states ordered by ascending beta (temperature grouping)."""

@@ -72,13 +72,26 @@ def diagonal_update(
     model: BondModel,
     hb: HeatBathTables | None = None,
     heatbath: bool = False,
+    bond_scale: jax.Array | None = None,  # f32[R, NB]
 ) -> OpString:
     """One full diagonal sweep. Returns the updated op string.
 
     The p=0 state is unchanged by construction (only diagonal ops are inserted
     or removed; the reference likewise sweeps a copy of the state,
     ``diagonal.rs:101-111``).
+
+    ``bond_scale`` optionally multiplies every bond's matrix elements per
+    replica — the heterogeneous-Hamiltonian support for parallel tempering
+    ladders in coupling/field space (reference tempering swaps whole graphs
+    with different ``(J, transverse, longitudinal)``,
+    ``tempering_traits.rs:117-155``). All other update kinds (cluster, loop,
+    RVB) only ever use *ratios* of same-bond or same-class weights, so a
+    class-uniform scale cancels there and needs no plumbing.
     """
+    assert not (heatbath and bond_scale is not None), (
+        "heat-bath tables are per-model; per-replica bond scales require the "
+        "Metropolis diagonal update"
+    )
     M, R = ops.bond.shape
     K = ops.max_legs
     NB = model.nbonds
@@ -129,6 +142,10 @@ def diagonal_update(
 
         # --- current op weight (for removal) ------------------------------
         w_cur = diag_w[b_safe, _substate_idx(in_p)]
+
+        if bond_scale is not None:
+            w_new = w_new * bond_scale[rows, b_new]
+            w_cur = w_cur * bond_scale[rows, b_safe]
 
         if heatbath:
             ins_try = u0 * (mmn + bw_tot) < bw_tot

@@ -67,13 +67,15 @@ def sweep(
     heatbath: bool = False,
     rvb_tables=None,
     n_rvb: int = 0,
+    bond_scale: jax.Array | None = None,
 ) -> tuple[SseState, jax.Array]:
     """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
 
     Returns ``(state, rvb_successes i32[R])`` (zeros when RVB is off)."""
     key, k_diag, k_rvb, k_clust, k_free = jax.random.split(sse.key, 5)
     ops = _diag.diagonal_update(
-        sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath
+        sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath,
+        bond_scale=bond_scale,
     )
     state = sse.state
     if n_rvb > 0:
@@ -102,6 +104,7 @@ def multi_sweep(
     collect_states: bool = False,
     rvb_tables=None,
     n_rvb: int = 0,
+    bond_scale: jax.Array | None = None,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
@@ -111,7 +114,7 @@ def multi_sweep(
         sse, succ = carry
         new, s = sweep(
             sse, beta, model, hb=hb, heatbath=heatbath,
-            rvb_tables=rvb_tables, n_rvb=n_rvb,
+            rvb_tables=rvb_tables, n_rvb=n_rvb, bond_scale=bond_scale,
         )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
@@ -510,6 +513,50 @@ class QmcIsingGraph:
             chunk=chunk,
         )
         return np.stack(acc) if acc else np.zeros((0, self.replicas, self.nvars), bool), energy
+
+    def timesteps_sample_iter(
+        self,
+        t: int,
+        beta: float,
+        sampling_freq: int | None,
+        iter_fn: Callable[[jax.Array], None],
+        chunk: int = 16,
+    ) -> jax.Array:
+        """Call ``iter_fn(state)`` on every sample (``qmc_stepper.rs:43-73``);
+        returns the average energy per replica."""
+        _, energy = self.timesteps_measure(
+            t, beta, None,
+            lambda acc, s: (iter_fn(s), acc)[1],
+            sampling_freq, chunk=chunk,
+        )
+        return energy
+
+    def timesteps_sample_iter_zip(
+        self,
+        t: int,
+        beta: float,
+        sampling_freq: int | None,
+        zip_with,
+        iter_fn: Callable[[Any, jax.Array], None],
+        chunk: int = 16,
+    ) -> jax.Array:
+        """Zip samples with an iterable (``qmc_stepper.rs:97-130``):
+        ``iter_fn(next(zip_with), state)`` per sample, stopping the
+        measurement fold when the iterable is exhausted."""
+        it = iter(zip_with)
+
+        def fold(acc, s):
+            try:
+                z = next(it)
+            except StopIteration:
+                return acc
+            iter_fn(z, s)
+            return acc
+
+        _, energy = self.timesteps_measure(
+            t, beta, None, fold, sampling_freq, chunk=chunk
+        )
+        return energy
 
     def timesteps_measure(
         self,

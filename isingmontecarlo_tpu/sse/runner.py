@@ -222,6 +222,40 @@ class Qmc:
         )
         return states, energy
 
+    def increase_cutoff_to(self, cutoff: int) -> None:
+        """Grow the op-string capacity (``qmc_runner.rs:306-312``)."""
+        sse = self._ensure_sse()
+        self._sse = sse._replace(ops=_ops.grow(sse.ops, cutoff))
+
+    # -- autocorrelations (qmc_runner.rs:736-751) ----------------------------
+
+    def calculate_bond_autocorrelation(
+        self, t: int, beta: float, sampling_freq: int | None = None
+    ) -> np.ndarray:
+        """Autocorrelation of the diagonal matrix-element value of every
+        non-constant diagonal-capable interaction, evaluated on sampled
+        states (``QmcBondAutoCorrelations`` for ``Qmc``,
+        ``qmc_runner.rs:736-751``)."""
+        from isingmontecarlo_tpu.analysis import autocorr as _ac
+
+        states, _ = self.timesteps_sample(t, beta, sampling_freq)
+        states = jnp.asarray(states)  # bool[T, R, N]
+        m = self.model
+        keep = ~np.asarray(m.is_constant)
+        b_ids = np.nonzero(keep)[0]
+        vars_b = jnp.asarray(np.asarray(m.bond_vars)[b_ids])  # [B, K]
+        K = vars_b.shape[1]
+        bits = []
+        for l in range(K):
+            idx = jnp.where(vars_b[:, l] >= 0, vars_b[:, l], 0)
+            bit = jnp.where(
+                vars_b[None, None, :, l] >= 0, states[..., idx], False
+            )
+            bits.append(bit.astype(jnp.int32) << l)
+        si = sum(bits)  # i32[T, R, B]
+        vals = m.diag_w[jnp.asarray(b_ids)[None, None, :], si]
+        return np.asarray(_ac.fft_autocorrelation(vals))
+
     # -- accessors ---------------------------------------------------------
 
     def get_n(self) -> jax.Array:

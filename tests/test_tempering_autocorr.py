@@ -17,21 +17,24 @@ class TestTemperingStep:
     def test_preserves_beta_multiset(self):
         betas = jnp.asarray(np.random.RandomState(0).uniform(0.1, 2.0, 16), jnp.float32)
         n = jnp.asarray(np.random.RandomState(1).randint(0, 50, 16), jnp.int32)
-        nb, swaps = tempering_step(n, betas, jax.random.key(0), 0)
+        perm, swaps = tempering_step(n, betas, jax.random.key(0), 0)
+        nb = betas[perm]
         assert sorted(np.asarray(nb).tolist()) == sorted(np.asarray(betas).tolist())
 
     def test_equal_n_always_swaps(self):
         # (beta_a/beta_b)^0 = 1: every pair swaps.
         betas = jnp.asarray([0.5, 1.0, 1.5, 2.0], jnp.float32)
         n = jnp.zeros(4, jnp.int32)
-        nb, swaps = tempering_step(n, betas, jax.random.key(1), 0)
+        perm, swaps = tempering_step(n, betas, jax.random.key(1), 0)
+        nb = betas[perm]
         assert int(swaps) == 2
         np.testing.assert_allclose(np.asarray(nb), [1.0, 0.5, 2.0, 1.5])
 
     def test_odd_parity_pairs(self):
         betas = jnp.asarray([0.5, 1.0, 1.5, 2.0], jnp.float32)
         n = jnp.zeros(4, jnp.int32)
-        nb, swaps = tempering_step(n, betas, jax.random.key(2), 1)
+        perm, swaps = tempering_step(n, betas, jax.random.key(2), 1)
+        nb = betas[perm]
         assert int(swaps) == 1
         np.testing.assert_allclose(np.asarray(nb), [0.5, 1.5, 1.0, 2.0])
 
