@@ -133,14 +133,82 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     }
 
 
+def bench_suite() -> None:
+    """Reference-workload table mirroring ``benches/end_to_end.rs``:
+    per-replica-timestep cost for the crate's benchmark configs (the
+    reference reports ns/iter for one sequential timestep; here the cost is
+    amortized over the replica batch). Printed to stderr."""
+    from isingmontecarlo_tpu import lattice
+    from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+    def measure(name, edges, beta, replicas, heatbath=False, rvb=0, warm=8):
+        g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=1234)
+        if heatbath:
+            g.set_enable_heatbath(True)
+        if rvb:
+            g.set_run_rvb(True, updates_per_timestep=rvb)
+        kw = dict(
+            hb=g._hb_tables if heatbath else None,
+            heatbath=heatbath,
+            **g._rvb_args(),
+        )
+        b = jnp.float32(beta)
+        for _ in range(3):
+            g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, warm, **kw)
+            jax.block_until_ready(ns)
+            g._maybe_grow()
+
+        def timed(n):
+            t0 = time.perf_counter()
+            _, ns, _, _ = multi_sweep(g.sse, b, g.model, n, **kw)
+            float(jnp.sum(ns))
+            return time.perf_counter() - t0
+
+        timed(2)
+        timed(8)
+        t1 = min(timed(2) for _ in range(2))
+        t2 = min(timed(8) for _ in range(2))
+        per = (t2 - t1) / 6 / replicas
+        print(
+            f"  {name:<28} {per*1e9:12.0f} ns/replica-timestep "
+            f"(R={replicas}, cutoff={g.cutoff}, n~{float(jnp.mean(ns[-1])):.0f})",
+            file=sys.stderr,
+        )
+
+    R = 256
+    print("reference benchmark workloads (benches/end_to_end.rs):", file=sys.stderr)
+    measure("one_d (L=16)", lattice.chain(16), 1.0, R)
+    for L in (4, 8, 16, 32):
+        measure(f"two_d_{L:02d}", lattice.frustrated_square(L, L), 1.0, R)
+    measure("one_d_heatbath", lattice.chain(16), 1.0, R, heatbath=True)
+    for L in (4, 8, 16):
+        measure(
+            f"two_d_heatbath_{L:02d}", lattice.frustrated_square(L, L), 1.0, R,
+            heatbath=True,
+        )
+    for L in (4, 6):
+        n = L * L
+        measure(
+            f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
+            10.0, 64, rvb=(n + 1) // 2, warm=4,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
     ap.add_argument("--no-sse", action="store_true", help="skip SSE diagnostic")
+    ap.add_argument(
+        "--suite", action="store_true",
+        help="also run the reference benchmark workload table (stderr)",
+    )
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
+
+    if args.suite:
+        bench_suite()
 
     if args.smoke:
         c = bench_classical(L=64, replicas=8, nsweeps=20, reps=2)

@@ -273,6 +273,31 @@ class TemperingContainer:
             )
         return np.stack(out)
 
+    # -- multi-chip sharding ------------------------------------------------
+
+    def shard_over(self, mesh, axis_name: str = "replicas") -> None:
+        """Shard the replica axis over a :class:`jax.sharding.Mesh` so sweeps
+        run data-parallel across chips via XLA collectives — the TPU-native
+        replacement for the reference's rayon thread pool
+        (``tempering_container.rs:315-478``). The swap step's cross-device
+        traffic is only the tiny per-replica ``(n, beta)`` vectors."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sse = self.graph.sse
+        sh = type(sse)(
+            ops=type(sse.ops)(
+                bond=NamedSharding(mesh, P(None, axis_name)),
+                inputs=NamedSharding(mesh, P(None, None, axis_name)),
+                outputs=NamedSharding(mesh, P(None, None, axis_name)),
+            ),
+            state=NamedSharding(mesh, P(axis_name, None)),
+            key=NamedSharding(mesh, P()),
+        )
+        self.graph.sse = jax.device_put(sse, sh)
+        rsh = NamedSharding(mesh, P(axis_name))
+        self.betas = jax.device_put(self.betas, rsh)
+        self.scales = jax.device_put(self.scales, NamedSharding(mesh, P(axis_name, None)))
+
     def states_by_temperature(self):
         """Current states ordered by ascending beta (temperature grouping)."""
         order = np.argsort(np.asarray(self.betas))

@@ -16,7 +16,7 @@ TPU-native reformulation of the reference's SSE stack:
 
 from isingmontecarlo_tpu.sse.model import BondModel, tfim_model
 from isingmontecarlo_tpu.sse.opstring import OpString, empty_opstring, op_count, verify
-from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, new_qmc, new_qmc_from_graph
 from isingmontecarlo_tpu.sse.runner import Qmc
 
 __all__ = [
@@ -27,5 +27,7 @@ __all__ = [
     "op_count",
     "verify",
     "QmcIsingGraph",
+    "new_qmc",
+    "new_qmc_from_graph",
     "Qmc",
 ]

@@ -45,99 +45,137 @@ def _take0(arr, idx):
 
 
 def worldline_links(ops: OpString, model: BondModel):
-    """Derive per-leg worldline successors by sorting legs along time.
+    """Per-leg worldline successors from one sort along time (see
+    :func:`isingmontecarlo_tpu.sse.opstring.worldline_maps`). Returns
+    ``(wnext, leg_var, order_info)`` for the state-rebuild step."""
+    from isingmontecarlo_tpu.sse.opstring import worldline_maps
 
-    Returns ``(wnext, leg_var, order_info)`` where ``wnext: i32[K*M, R]`` maps
-    flat leg index ``f = l*M + p`` to the flat leg index of the next op on the
-    same variable (periodic), self for invalid legs; ``leg_var: i32[K*M, R]``;
-    and ``order_info = (order, svar, seg_start)`` from the sort, reused by the
-    state-rebuild step.
-
-    This replaces the reference's per-variable doubly-linked lists
-    (``fast_ops.rs:176-207``) with one sort per sweep.
-    """
-    M, R = ops.bond.shape
-    K = ops.max_legs
-    KM = K * M
-
-    b = jnp.maximum(ops.bond, 0)
-    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)  # [K, M, R]
-    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
-    leg_var = vars_kmr.reshape(KM, R)
-    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
-
-    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
-    order = jnp.argsort(key, axis=0).astype(jnp.int32)  # [KM, R]
-    svar = _take0(leg_var, order)
-
-    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
-    seg_start = jnp.concatenate(
-        [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
-    )
-    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
-    nxt_same = jnp.concatenate(
-        [svar[1:] == svar[:-1], jnp.zeros((1, R), bool)], axis=0
-    )
-    next_pos = jnp.where(nxt_same, jnp.minimum(j + 1, KM - 1), group_start)
-    target = _take0(order, next_pos)  # [KM, R] flat leg of successor
-
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
-    wnext = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(target)
-    self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
-    wnext = jnp.where(leg_var >= 0, wnext, self_f)
-    return wnext, leg_var, (order, svar, seg_start)
+    wnext, _, leg_var, order_info = worldline_maps(ops, model)
+    return wnext, leg_var, order_info
 
 
-def cluster_labels(ops: OpString, model: BondModel, wnext, leg_var):
+def _seg_min_scan(W, breaks):
+    """Per-element minimum over its contiguous run: forward + backward
+    min-scans with resets at ``breaks`` (``breaks[e]`` = no edge between
+    ``e-1`` and ``e``). ``W: f/i32[E, R]``; log-depth associative scans."""
+
+    def op_fwd(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    fwd, _ = jax.lax.associative_scan(op_fwd, (W, breaks), axis=0)
+    # Backward: break between e and e+1 is breaks[e+1]; shift accordingly.
+    rb = jnp.concatenate([breaks[1:], jnp.ones_like(breaks[:1])], axis=0)[::-1]
+    bwd, _ = jax.lax.associative_scan(op_fwd, (W[::-1], rb), axis=0)
+    return jnp.minimum(fwd, bwd[::-1])
+
+
+
+
+def cluster_labels(ops: OpString, model: BondModel, wnext, wprev, leg_var,
+                   order_info=None):
     """Min-label clusters over op sides. Returns ``labels: i32[2M, R]``.
 
     Node ``2p`` = input side, ``2p+1`` = output side of the op at slot ``p``.
+
+    The iteration runs in sorted-leg *path space*: along each variable's
+    worldline the nodes form the path ``... out(op_j) - in(op_{j+1}) -
+    [within-op] - out(op_{j+1}) ...`` which is contiguous after the
+    worldline sort, so min-label propagation along worldlines is two
+    segmented scans (full worldline range per iteration) instead of
+    distance-1 gather steps; breaks sit at cluster-edge ops
+    (``is_valid_cluster_edge``, ``cluster.rs:276-286``) where the in/out
+    sides are disconnected. Cross-variable flow goes through each op's other
+    legs (one sibling-map gather) and the periodic wrap through one
+    wrap-predecessor gather. This converges in O(cluster diameter in op-hops)
+    iterations instead of O(worldline length).
     """
+    from isingmontecarlo_tpu.sse.opstring import worldline_maps
+
     M, R = ops.bond.shape
     K = ops.max_legs
     KM = K * M
+
+    if order_info is None:
+        _, _, _, order_info = worldline_maps(ops, model)
+    order, svar, seg_start = order_info  # [KM, R]
 
     valid_op = ops.bond >= 0  # [M, R]
     b = jnp.maximum(ops.bond, 0)
     arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)  # [M, R]
     is_edge = model.is_constant[b] & (arity == 1) & valid_op  # cluster.rs:276-286
 
-    node_p = jnp.arange(2 * M, dtype=jnp.int32)[:, None] // 2
-    side = jnp.arange(2 * M, dtype=jnp.int32)[:, None] % 2
-    merge_sides = jnp.broadcast_to(
-        (valid_op & ~is_edge)[node_p[:, 0]], (2 * M, R)
-    )
-    partner = jnp.where(merge_sides, 2 * node_p + (1 - side), 2 * node_p + side)
-    partner = jnp.broadcast_to(partner, (2 * M, R))
+    # Sorted-space per-position op data. f = order[j], p = f % M.
+    f_sorted = order
+    p_sorted = f_sorted % M
+    valid_j = svar >= 0
+    edge_j = _take0(is_edge, p_sorted) & valid_j
 
-    # Worldline merge endpoints: out-node of leg's op <-> in-node of successor.
-    f = jnp.arange(KM, dtype=jnp.int32)[:, None]
-    p_of_f = f % M
-    a_idx = jnp.broadcast_to(2 * p_of_f + 1, (KM, R))
-    b_idx = 2 * (wnext % M)
-    leg_ok = leg_var >= 0
-    cols2 = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (2 * M, R))
-    colsk = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
+    # rank[f] = sorted position of flat leg f.
+    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
+    src = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
+    rank = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(src)
 
-    labels0 = jnp.broadcast_to(
-        jnp.arange(2 * M, dtype=jnp.int32)[:, None], (2 * M, R)
+    # Sibling map in path space: position of the op's next leg (cyclic over
+    # its legs), so K-leg ops chain all their legs over K-1 merges.
+    l_sorted = f_sorted // M
+    l_next = (l_sorted + 1) % K
+    f_sib = l_next * M + p_sorted
+    sib_leg_valid = _take0(leg_var, f_sib) >= 0
+    j_sib = jnp.where(valid_j & sib_leg_valid, _take0(rank, f_sib), src)
+    # Path space has 2 elements per sorted position: e = 2j (+side).
+    sib_map = jnp.stack([2 * j_sib, 2 * j_sib + 1], axis=1).reshape(2 * KM, R)
+
+    # Group bounds in sorted space (per-var worldline wrap).
+    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
+    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
+    seg_end = jnp.concatenate(
+        [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
     )
+    group_end = jax.lax.cummax(jnp.where(seg_end[::-1], j, 0), axis=0)[::-1]
+    group_end = KM - 1 - group_end
+    # Wrap edge: in-element of a group head <- out-element of the group end.
+    at_head = seg_start & valid_j
+    wrap_map_in = jnp.where(at_head, 2 * group_end + 1, 2 * j)
+    at_end = seg_end & valid_j
+    wrap_map_out = jnp.where(at_end, 2 * group_start, 2 * j + 1)
+    wrap_map = jnp.stack([wrap_map_in, wrap_map_out], axis=1).reshape(2 * KM, R)
+
+    # Path breaks: before in-element at group heads / invalid; between in and
+    # out at cluster-edge ops (and invalid positions).
+    break_in = seg_start | ~valid_j  # before e = 2j
+    break_out = edge_j | ~valid_j  # before e = 2j + 1
+    breaks = jnp.stack([break_in, break_out], axis=1).reshape(2 * KM, R)
+
+    # Initial labels: node ids (in = 2p, out = 2p+1); invalid positions carry
+    # a sentinel larger than any node id so they never win a min.
+    W0 = jnp.stack([2 * p_sorted, 2 * p_sorted + 1], axis=1).reshape(2 * KM, R)
+    W0 = jnp.where(
+        jnp.repeat(valid_j, 2, axis=0), W0, _BIG
+    )
+
+    # Path position of each op's leg-0 (for the node-space readback below).
+    j0 = _take0(rank, jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], (M, R)))
 
     def body(state):
-        L, _ = state
-        Ln = jnp.minimum(L, _take0(L, partner))
-        la = _take0(Ln, a_idx)
-        lb = _take0(Ln, b_idx)
-        mn = jnp.where(leg_ok, jnp.minimum(la, lb), _BIG)
-        Ln = Ln.at[a_idx, colsk].min(mn)
-        Ln = Ln.at[b_idx, colsk].min(mn)
-        # Pointer jumping (labels are node ids).
-        Ln = jnp.minimum(Ln, _take0(Ln, Ln))
-        Ln = jnp.minimum(Ln, _take0(Ln, Ln))
-        return Ln, jnp.any(Ln != L)
+        W, _ = state
+        Wn = _seg_min_scan(W, breaks)
+        Wn = jnp.minimum(Wn, _take0(Wn, sib_map))
+        Wn = jnp.minimum(Wn, _take0(Wn, wrap_map))
+        return Wn, jnp.any(Wn != W)
 
-    labels, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (labels0, jnp.asarray(True))
+    # NOTE: label-value pointer jumping was measured and does NOT pay here —
+    # min-id labels usually point to nearby nodes so the radius does not
+    # double, and TPU gathers with per-lane indices cost ~linear in elements
+    # (the extra two gathers outweigh the saved iterations).
+    W, _ = jax.lax.while_loop(lambda s: s[1], body, (W0, jnp.asarray(True)))
+    lab_in = _take0(W, 2 * j0)
+    lab_out = _take0(W, 2 * j0 + 1)
+    node_default = jnp.arange(2 * M, dtype=jnp.int32)[:, None]
+    labels = jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
+    labels = jnp.where(
+        jnp.repeat(valid_op, 2, axis=0), labels, jnp.broadcast_to(node_default, (2 * M, R))
     )
     return labels
 
@@ -160,11 +198,13 @@ def cluster_update(
     model's weight tables so the same kernel serves symmetric models
     (ratio identically 1).
     """
+    from isingmontecarlo_tpu.sse.opstring import worldline_maps
+
     M, R = ops.bond.shape
     K = ops.max_legs
 
-    wnext, leg_var, (order, svar, seg_start) = worldline_links(ops, model)
-    labels = cluster_labels(ops, model, wnext, leg_var)  # [2M, R]
+    wnext, wprev, leg_var, (order, svar, seg_start) = worldline_maps(ops, model)
+    labels = cluster_labels(ops, model, wnext, wprev, leg_var)  # [2M, R]
 
     k_u = jax.random.fold_in(key, 0)
     u_root = jax.random.uniform(k_u, (2 * M, R))

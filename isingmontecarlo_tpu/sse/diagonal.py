@@ -172,7 +172,9 @@ def diagonal_update(
         u[1],
         u[2],
     )
-    (_, _), (new_bond, new_in) = jax.lax.scan(step, (state, n0), xs)
+    # unroll: the per-slot body is small vector work ([R]-wide); unrolling
+    # amortizes the TPU loop overhead over several imaginary-time slots.
+    (_, _), (new_bond, new_in) = jax.lax.scan(step, (state, n0), xs, unroll=4)
     new_in = jnp.moveaxis(new_in, 0, 1)  # [K, M, R]
     # Inserted/removed slots are diagonal: outputs follow inputs there; slots
     # holding off-diagonal ops are untouched by the sweep.

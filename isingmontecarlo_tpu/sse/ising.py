@@ -126,6 +126,23 @@ def multi_sweep(
     return sse, ns, states, succ
 
 
+def new_qmc(edges, transverse, longitudinal=0.0, cutoff=None, *, replicas=1,
+            seed=0, state=None):
+    """Free-function constructor (``new_qmc``, ``qmc_ising.rs:49-65``)."""
+    return QmcIsingGraph(
+        edges, transverse, longitudinal, cutoff,
+        replicas=replicas, seed=seed, state=state,
+    )
+
+
+def new_qmc_from_graph(graph_state, transverse, longitudinal=0.0, *, seed=0):
+    """Seed a QMC run from classical-MC states
+    (``new_qmc_from_graph``, ``qmc_ising.rs:68-77``)."""
+    return QmcIsingGraph.new_from_graph_state(
+        graph_state, transverse, longitudinal, seed=seed
+    )
+
+
 class QmcIsingGraph:
     """Batched transverse-field Ising model QMC.
 
@@ -194,6 +211,36 @@ class QmcIsingGraph:
             graph_state.edges, transverse, longitudinal,
             replicas=spins.shape[0], seed=seed, state=np.asarray(spins),
         )
+
+    # -- Hamiltonian access (qmc_ising.rs:169-205) --------------------------
+
+    def hamiltonian(self, bond: int, inputs, outputs) -> float:
+        """Matrix element of ``bond`` for the given leg substates
+        (``qmc_ising.rs:179-205``), evaluated from the compiled tables."""
+        si = sum((1 << l) for l, v in enumerate(inputs) if v)
+        so = sum((1 << l) for l, v in enumerate(outputs) if v)
+        if self.model.full_w is not None:
+            return float(self.model.full_w[bond, si, so])
+        return float(self.model.diag_w[bond, si]) if si == so else 0.0
+
+    # -- manager/state swap (qmc_ising.rs:563-602) --------------------------
+
+    def can_swap_managers(self, other: "QmcIsingGraph") -> bool:
+        """Graphs can swap when shapes agree (``qmc_ising.rs:563-591``; the
+        Hamiltonians may differ — tempering accounts for the weight ratio)."""
+        return (
+            self.nvars == other.nvars
+            and self.replicas == other.replicas
+            and self.model.nbonds == other.model.nbonds
+        )
+
+    def swap_manager_and_state(self, other: "QmcIsingGraph") -> None:
+        """Exchange op strings + states with another graph
+        (``qmc_ising.rs:593-602``) — the reference's tempering swap. The
+        batched tempering container swaps parameter *labels* instead; this
+        direct form exists for API parity and ad-hoc ensembles."""
+        assert self.can_swap_managers(other)
+        self.sse, other.sse = other.sse, self.sse
 
     # -- conversion (IntoQmc, qmc_ising.rs:934-976) -------------------------
 

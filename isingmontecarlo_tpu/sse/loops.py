@@ -44,42 +44,9 @@ def _worldline_next_prev(ops: OpString, model: BondModel):
 
     ``f = l*M + p``; returns ``(wnext, wprev, leg_var)`` each ``i32[K*M, R]``.
     """
-    M, R = ops.bond.shape
-    K = ops.max_legs
-    KM = K * M
+    from isingmontecarlo_tpu.sse.opstring import worldline_maps
 
-    b = jnp.maximum(ops.bond, 0)
-    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)
-    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
-    leg_var = vars_kmr.reshape(KM, R)
-    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
-
-    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
-    order = jnp.argsort(key, axis=0).astype(jnp.int32)
-    svar = _take0(leg_var, order)
-
-    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
-    seg_start = jnp.concatenate([jnp.ones((1, R), bool), svar[1:] != svar[:-1]], 0)
-    seg_end = jnp.concatenate([svar[:-1] != svar[1:], jnp.ones((1, R), bool)], 0)
-    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
-    group_end = jax.lax.cummax(
-        jnp.where(seg_end[::-1], j, 0), axis=0
-    )[::-1]
-    # group_end via reversed cummax: positions of the last element >= j.
-    group_end = KM - 1 - group_end  # undo the reversed index space
-    nxt_same = jnp.concatenate([svar[1:] == svar[:-1], jnp.zeros((1, R), bool)], 0)
-    prv_same = jnp.concatenate([jnp.zeros((1, R), bool), svar[:-1] == svar[1:]], 0)
-    next_pos = jnp.where(nxt_same, jnp.minimum(j + 1, KM - 1), group_start)
-    prev_pos = jnp.where(prv_same, jnp.maximum(j - 1, 0), group_end)
-    tgt_next = _take0(order, next_pos)
-    tgt_prev = _take0(order, prev_pos)
-
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
-    self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
-    wnext = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_next)
-    wprev = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_prev)
-    wnext = jnp.where(leg_var >= 0, wnext, self_f)
-    wprev = jnp.where(leg_var >= 0, wprev, self_f)
+    wnext, wprev, leg_var, _ = worldline_maps(ops, model)
     return wnext, wprev, leg_var
 
 

@@ -97,6 +97,61 @@ def op_vars(ops: OpString, model: BondModel) -> jax.Array:
     return jnp.where((ops.bond >= 0)[None], vars_, -1)
 
 
+def worldline_maps(ops: OpString, model: BondModel):
+    """Flat-leg successor AND predecessor maps (periodic) derived by one sort
+    of all legs along imaginary time — the TPU replacement for the
+    reference's per-variable doubly-linked lists (``fast_ops.rs:176-207``).
+
+    Flat leg index ``f = l*M + p``. Returns ``(wnext, wprev, leg_var,
+    (order, svar, seg_start))`` with ``wnext/wprev/leg_var: i32[K*M, R]``
+    (self-maps for invalid legs); the order info is reused by callers that
+    need per-variable first-leg lookups.
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    KM = K * M
+    _BIG = jnp.int32(2**30)
+
+    b = jnp.maximum(ops.bond, 0)
+    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)
+    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
+    leg_var = vars_kmr.reshape(KM, R)
+    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
+
+    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
+    order = jnp.argsort(key, axis=0).astype(jnp.int32)
+    svar = jnp.take_along_axis(leg_var, order, axis=0)
+
+    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
+    seg_start = jnp.concatenate(
+        [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
+    )
+    seg_end = jnp.concatenate(
+        [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
+    )
+    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
+    group_end = jax.lax.cummax(jnp.where(seg_end[::-1], j, 0), axis=0)[::-1]
+    group_end = KM - 1 - group_end  # undo the reversed index space
+    nxt_same = jnp.concatenate(
+        [svar[1:] == svar[:-1], jnp.zeros((1, R), bool)], axis=0
+    )
+    prv_same = jnp.concatenate(
+        [jnp.zeros((1, R), bool), svar[:-1] == svar[1:]], axis=0
+    )
+    next_pos = jnp.where(nxt_same, jnp.minimum(j + 1, KM - 1), group_start)
+    prev_pos = jnp.where(prv_same, jnp.maximum(j - 1, 0), group_end)
+    tgt_next = jnp.take_along_axis(order, next_pos, axis=0)
+    tgt_prev = jnp.take_along_axis(order, prev_pos, axis=0)
+
+    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
+    self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
+    wnext = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_next)
+    wprev = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_prev)
+    wnext = jnp.where(leg_var >= 0, wnext, self_f)
+    wprev = jnp.where(leg_var >= 0, wprev, self_f)
+    return wnext, wprev, leg_var, (order, svar, seg_start)
+
+
 def is_diagonal(ops: OpString) -> jax.Array:
     """bool[M, R] (identity slots count as diagonal). Padded legs always hold
     equal in/out values by construction."""

@@ -445,7 +445,7 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
         is_toggle,
     )
     (_, _, _, _, logm), _ = jax.lax.scan(
-        step, (state, in0, wb0, wa0, logm0), xs
+        step, (state, in0, wb0, wa0, logm0), xs, unroll=2
     )
     return jnp.minimum(jnp.exp(logm), 1.0)
 
@@ -572,7 +572,7 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
         is_toggle,
     )
     (_, _, _, _), (nb, ni, no) = jax.lax.scan(
-        step, (substate0, in0, wvec0, key), xs
+        step, (substate0, in0, wvec0, key), xs, unroll=2
     )
     ni = jnp.moveaxis(ni, 0, 1)  # [K, M, R]
     no = jnp.moveaxis(no, 0, 1)

@@ -6,9 +6,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "--xla_cpu_max_isa" not in _flags:
+    # The XLA:CPU JIT segfaults intermittently on this VM when emitting for
+    # the full host ISA (the VM migrates between hosts; cached AOT code also
+    # warns about machine-feature mismatches). Pinning a conservative ISA
+    # stabilizes compilation; scripts/run_tests.sh retries are the backstop.
+    _flags = _flags + " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402  (after env setup)
 

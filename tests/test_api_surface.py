@@ -153,6 +153,60 @@ class TestIntoQmc:
         assert de_ising == pytest.approx(de_qmc, rel=0.15, abs=0.5)
 
 
+class TestFreeConstructorsAndSwap:
+    def test_new_qmc_functions(self):
+        from isingmontecarlo_tpu.sse import new_qmc, new_qmc_from_graph
+        from isingmontecarlo_tpu import GraphState
+
+        g = new_qmc(lattice.chain(4, j=1.0), 1.0, 0.0, cutoff=16, replicas=4)
+        g.timestep(1.0)
+        assert g.verify()
+        cg = GraphState.new(lattice.chain(4, j=1.0), [0.0] * 4, replicas=4)
+        q = new_qmc_from_graph(cg, 1.0)
+        assert np.array_equal(np.asarray(q.sse.state), np.asarray(cg.state_ref()))
+
+    def test_hamiltonian_accessor(self):
+        g = small_graph()
+        ne = len(g.edges)
+        # two-site bond 0, J=1: aligned |J|-J=0, anti-aligned |J|+J=2.
+        assert g.hamiltonian(0, [True, True], [True, True]) == pytest.approx(0.0)
+        assert g.hamiltonian(0, [True, False], [True, False]) == pytest.approx(2.0)
+        # transverse bond: always gamma.
+        assert g.hamiltonian(ne, [True, False], [False, False]) == pytest.approx(1.0)
+
+    def test_swap_manager_and_state(self):
+        a = small_graph(seed=1)
+        b = small_graph(seed=2)
+        for _ in range(4):
+            a.timestep(1.0)
+            b.timestep(1.0)
+        na, nb = np.asarray(a.get_n()), np.asarray(b.get_n())
+        assert a.can_swap_managers(b)
+        a.swap_manager_and_state(b)
+        assert np.array_equal(np.asarray(a.get_n()), nb)
+        assert np.array_equal(np.asarray(b.get_n()), na)
+        assert a.verify() and b.verify()
+
+
+class TestMeshSharding:
+    def test_tempering_shard_over_virtual_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from isingmontecarlo_tpu.parallel import TemperingContainer
+
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, axis_names=("replicas",))
+        tc = TemperingContainer(
+            lattice.chain(4, j=1.0), 1.0,
+            betas=[0.5, 1.0, 1.5, 2.0], replicas_per_beta=4, seed=1,
+        )
+        tc.shard_over(mesh)
+        tc.timesteps(3)
+        tc.tempering_step()
+        assert tc.verify()
+
+
 class TestSingleSteps:
     def test_single_diagonal_and_cluster_steps(self):
         g = small_graph(replicas=8, seed=31)
