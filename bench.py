@@ -175,20 +175,26 @@ def bench_suite() -> None:
             file=sys.stderr,
         )
 
+    def safe(name, *a, **kw):
+        try:
+            measure(name, *a, **kw)
+        except Exception as e:
+            print(f"  {name:<28} failed: {e}", file=sys.stderr)
+
     R = 256
     print("reference benchmark workloads (benches/end_to_end.rs):", file=sys.stderr)
-    measure("one_d (L=16)", lattice.chain(16), 1.0, R)
+    safe("one_d (L=16)", lattice.chain(16), 1.0, R)
     for L in (4, 8, 16, 32):
-        measure(f"two_d_{L:02d}", lattice.frustrated_square(L, L), 1.0, R)
-    measure("one_d_heatbath", lattice.chain(16), 1.0, R, heatbath=True)
+        safe(f"two_d_{L:02d}", lattice.frustrated_square(L, L), 1.0, R)
+    safe("one_d_heatbath", lattice.chain(16), 1.0, R, heatbath=True)
     for L in (4, 8, 16):
-        measure(
+        safe(
             f"two_d_heatbath_{L:02d}", lattice.frustrated_square(L, L), 1.0, R,
             heatbath=True,
         )
     for L in (4, 6):
         n = L * L
-        measure(
+        safe(
             f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
             10.0, 64, rvb=(n + 1) // 2, warm=4,
         )
@@ -207,20 +213,13 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
-    if args.suite:
-        bench_suite()
-
+    # Headline first: the TPU worker behind the tunnel occasionally crashes
+    # on the larger SSE diagnostic programs; the JSON record must already be
+    # out by then.
     if args.smoke:
         c = bench_classical(L=64, replicas=8, nsweeps=20, reps=2)
-        if not args.no_sse:
-            s = bench_sse(L=4, replicas=32, nsweeps=8, reps=2)
-            print(f"sse: {s}", file=sys.stderr)
     else:
         c = bench_classical(L=256, replicas=64, nsweeps=100, reps=3)
-        if not args.no_sse:
-            s = bench_sse(L=16, replicas=256, nsweeps=16, reps=2)
-            print(f"sse: {s}", file=sys.stderr)
-
     print(f"classical: {c}", file=sys.stderr)
     value = c["attempts_per_sec"]
     print(
@@ -235,6 +234,20 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+
+    if not args.no_sse:
+        try:
+            if args.smoke:
+                s = bench_sse(L=4, replicas=32, nsweeps=8, reps=2)
+            else:
+                s = bench_sse(L=16, replicas=256, nsweeps=16, reps=2)
+            print(f"sse: {s}", file=sys.stderr)
+        except Exception as e:  # diagnostics must not kill the record
+            print(f"sse diagnostic failed: {e}", file=sys.stderr)
+
+    if args.suite:
+        bench_suite()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,41 @@ def _take0(arr, idx):
     return jnp.take_along_axis(arr, idx, axis=0)
 
 
+def _mm_take0(vals, idx, chunk=128):
+    """``take_along_axis(vals, idx, axis=0)`` as a one-hot x vector batched
+    matmul on the MXU. TPU gathers with per-lane indices run at ~75M
+    elements/s (scalarized); routing the permutation through the systolic
+    array is 1.5-3.5x faster at these shapes and scales sub-linearly with the
+    replica count. f32 accumulation is exact for integer values < 2^24."""
+    rows, R = vals.shape
+    chunk = min(chunk, R)
+    G = -(-R // chunk)
+    pad = G * chunk - R
+    vc = jnp.pad(vals.T.astype(jnp.float32), ((0, pad), (0, 0))).reshape(
+        G, chunk, rows
+    )
+    ic = jnp.pad(idx.T, ((0, pad), (0, 0))).reshape(G, chunk, rows)
+    iota = jnp.arange(rows, dtype=jnp.int32)
+
+    def step(c, xs):
+        vg, ig = xs
+        oh = (ig[:, :, None] == iota[None, None, :]).astype(jnp.float32)
+        y = jnp.einsum("cij,cj->ci", oh, vg, preferred_element_type=jnp.float32)
+        return c, y
+
+    _, out = jax.lax.scan(step, None, (vc, ic))
+    return out.reshape(G * chunk, rows)[:R].T.astype(vals.dtype)
+
+
+def _take0_fast(vals, idx):
+    """Platform-dispatched gather: MXU one-hot matmul on TPU for moderate row
+    counts (exact for int32 values < 2^24), native gather otherwise."""
+    rows = vals.shape[0]
+    if jax.default_backend() == "tpu" and rows <= 8192 and rows < (1 << 24):
+        return _mm_take0(vals, idx)
+    return jnp.take_along_axis(vals, idx, axis=0)
+
+
 def worldline_links(ops: OpString, model: BondModel):
     """Per-leg worldline successors from one sort along time (see
     :func:`isingmontecarlo_tpu.sse.opstring.worldline_maps`). Returns
@@ -161,8 +196,8 @@ def cluster_labels(ops: OpString, model: BondModel, wnext, wprev, leg_var,
     def body(state):
         W, _ = state
         Wn = _seg_min_scan(W, breaks)
-        Wn = jnp.minimum(Wn, _take0(Wn, sib_map))
-        Wn = jnp.minimum(Wn, _take0(Wn, wrap_map))
+        Wn = jnp.minimum(Wn, _take0_fast(Wn, sib_map))
+        Wn = jnp.minimum(Wn, _take0_fast(Wn, wrap_map))
         return Wn, jnp.any(Wn != W)
 
     # NOTE: label-value pointer jumping was measured and does NOT pay here —
