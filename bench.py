@@ -26,6 +26,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -109,8 +110,11 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
 
 
 def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
-    """Secondary: SSE TFIM sweeps/sec on an LxL lattice (diagnostic only)."""
+    """Secondary: SSE TFIM sweeps/sec and energy-ESS/sec on an LxL lattice
+    (diagnostic only). ESS uses the integrated autocorrelation time of the
+    per-sweep energy estimator (op count), summed over independent replicas."""
     from isingmontecarlo_tpu import lattice
+    from isingmontecarlo_tpu.analysis import effective_sample_size
     from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
 
     edges = lattice.square(L, L, j=1.0)
@@ -122,13 +126,18 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
         jax.block_until_ready(ns)
         g._maybe_grow()
     best = float("inf")
+    ns_all = []
     for _ in range(reps):
         t0 = time.perf_counter()
         g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
         jax.block_until_ready(ns)
         best = min(best, time.perf_counter() - t0)
+        ns_all.append(np.asarray(ns))
+    series = np.concatenate(ns_all, axis=0)  # [reps*nsweeps, R]
+    ess = effective_sample_size(series)
     return {
         "sse_replica_sweeps_per_sec": replicas * nsweeps / best,
+        "sse_energy_ess_per_sec": ess / (best * len(ns_all)),
         "cutoff": g.cutoff,
     }
 

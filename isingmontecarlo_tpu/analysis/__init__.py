@@ -6,6 +6,8 @@ from isingmontecarlo_tpu.analysis.autocorr import (
     sample_autocorrelation,
     spin_autocorrelation,
     bond_autocorrelation,
+    integrated_autocorrelation_time,
+    effective_sample_size,
 )
 
 __all__ = [
@@ -13,4 +15,6 @@ __all__ = [
     "sample_autocorrelation",
     "spin_autocorrelation",
     "bond_autocorrelation",
+    "integrated_autocorrelation_time",
+    "effective_sample_size",
 ]

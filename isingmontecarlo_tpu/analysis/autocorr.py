@@ -66,6 +66,45 @@ def product_autocorrelation(
     return fft_autocorrelation(jnp.stack(prods, axis=-1))
 
 
+def integrated_autocorrelation_time(series: jax.Array, c: float = 5.0) -> float:
+    """Integrated autocorrelation time ``tau`` of a scalar time series
+    ``f32[T]`` (or ``[T, R]``, averaged over replicas) with Sokal's adaptive
+    window: ``tau = 1 + 2 sum_{t<=W} rho(t)`` for the smallest ``W >= c*tau``.
+    """
+    import numpy as np
+
+    x = np.asarray(series, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    T = x.shape[0]
+    x = x - x.mean(axis=0, keepdims=True)
+    # FFT autocorrelation per replica, averaged.
+    n = 1 << (2 * T - 1).bit_length()
+    f = np.fft.rfft(x, n=n, axis=0)
+    acf = np.fft.irfft(np.abs(f) ** 2, n=n, axis=0)[:T].real
+    acf /= np.maximum(acf[0], 1e-300)
+    rho = acf.mean(axis=1)
+    tau = 1.0
+    for W in range(1, T):
+        tau = 1.0 + 2.0 * rho[1 : W + 1].sum()
+        if W >= c * tau:
+            break
+    return float(max(tau, 1.0))
+
+
+def effective_sample_size(series: jax.Array) -> float:
+    """ESS of a scalar observable series ``[T]`` or ``[T, R]``: total samples
+    divided by the integrated autocorrelation time (per replica chains are
+    independent, so ESS adds across the replica axis)."""
+    import numpy as np
+
+    x = np.asarray(series)
+    T = x.shape[0]
+    R = 1 if x.ndim == 1 else int(np.prod(x.shape[1:]))
+    tau = integrated_autocorrelation_time(series)
+    return T * R / tau
+
+
 def bond_autocorrelation(states: jax.Array, edges, ej) -> jax.Array:
     """Autocorrelation of bond-satisfaction values — the
     ``QmcBondAutoCorrelations`` surface (``autocorrelations.rs:76-97``,

@@ -84,6 +84,29 @@ class TestAutocorrelations:
         assert abs(ac[0] - 1.0) < 1e-5
         assert np.all(np.abs(ac[5:50]) < 0.2)
 
+    def test_ess_white_noise_near_total(self):
+        from isingmontecarlo_tpu.analysis import effective_sample_size
+
+        x = np.random.RandomState(1).randn(512, 4)
+        ess = effective_sample_size(x)
+        assert 0.6 * 512 * 4 < ess <= 1.3 * 512 * 4
+
+    def test_ess_correlated_series_small(self):
+        from isingmontecarlo_tpu.analysis import (
+            effective_sample_size,
+            integrated_autocorrelation_time,
+        )
+
+        # AR(1) with rho = 0.9: tau = (1+rho)/(1-rho) = 19.
+        rng = np.random.RandomState(2)
+        T = 4096
+        x = np.zeros(T)
+        for t in range(1, T):
+            x[t] = 0.9 * x[t - 1] + rng.randn()
+        tau = integrated_autocorrelation_time(x)
+        assert 10 < tau < 30, tau
+        assert effective_sample_size(x) < T / 8
+
     def test_slow_signal_correlates(self):
         t = np.arange(128)
         x = np.sin(2 * np.pi * t / 128.0)[:, None] + 0.01 * np.random.RandomState(1).randn(128, 4)
