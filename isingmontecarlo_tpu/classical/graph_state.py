@@ -61,6 +61,7 @@ class GraphState:
                 state = jnp.broadcast_to(state[None, :], (replicas, self.nvars))
             self.spins = state
         self._only_basic_moves = False
+        self._edge_attempt_p = None
 
     # -- constructors mirroring the reference ------------------------------
 
@@ -113,7 +114,8 @@ class GraphState:
             sweeps = max(1, round(n / max(1, len(self.edges))))
             for _ in range(sweeps):
                 self.spins = _metro.edge_flip_sweep(
-                    self.spins, self._split(), beta, self.tables
+                    self.spins, self._split(), beta, self.tables,
+                    attempt_p=self._edge_attempt_p,
                 )
         else:
             n = nwormupdates if nwormupdates is not None else 1
@@ -139,10 +141,16 @@ class GraphState:
         )
 
     def enable_edge_importance_sampling(self, enable: bool) -> None:
-        """API parity with ``graph.rs:321-336``. The color-parallel edge sweep
-        already attempts every edge each pass, so there is nothing to
-        importance-sample; accepted and ignored."""
-        del enable
+        """Edge importance sampling (``graph.rs:321-336``): the reference
+        draws flip-attempt edges proportionally to their coupling weight;
+        here each edge attempts with probability ``w_e / w_max`` per sweep —
+        the same attempt-frequency profile, still a valid composition of
+        per-edge Metropolis kernels."""
+        if enable and self.edges:
+            w = jnp.abs(self.tables.ej)
+            self._edge_attempt_p = w / jnp.maximum(jnp.max(w), 1e-30)
+        else:
+            self._edge_attempt_p = None
 
     # -- accessors ---------------------------------------------------------
 

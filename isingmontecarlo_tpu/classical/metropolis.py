@@ -127,7 +127,8 @@ def spin_flip_sweep(
 
 
 @functools.partial(jax.jit, static_argnames=("n_colors",))
-def _edge_flip_sweep(spins, key, beta, tables: GraphTables, n_colors: int):
+def _edge_flip_sweep(spins, key, beta, tables: GraphTables, n_colors: int,
+                     attempt_p=None):
     beta = jnp.asarray(beta, jnp.float32)
     beta_col = beta[..., None] if beta.ndim else beta
 
@@ -136,6 +137,16 @@ def _edge_flip_sweep(spins, key, beta, tables: GraphTables, n_colors: int):
     for c in range(n_colors):
         key, sub = jax.random.split(key)
         mask = tables.edge_color == c  # [E]
+        if attempt_p is not None:
+            # Edge importance sampling (graph.rs:321-336 / :131-141): the
+            # reference draws the edge for each attempt proportionally to its
+            # coupling weight; here each edge in the class attempts with
+            # probability w_e / w_max, giving the same attempt-frequency
+            # profile per sweep.
+            key, ka = jax.random.split(key)
+            mask = mask & (
+                jax.random.uniform(ka, attempt_p.shape) < attempt_p
+            )
         field = local_field(spins, tables)  # [R, N]
         s = sigma(spins)
         # delta_e(v omitting partner) = -2 (field_v - J_e sigma_partner) sigma_v
@@ -162,14 +173,18 @@ def edge_flip_sweep(
     key: jax.Array,
     beta: jax.Array,
     tables: GraphTables,
+    attempt_p: jax.Array | None = None,
 ) -> jax.Array:
     """One matching-parallel paired edge-flip sweep (``graph.rs:122-153``).
 
     Each strong-matching class flips both endpoints of its edges; ``dE``
     counts each endpoint's neighbor couplings minus the shared edge (which is
     invariant under flipping both endpoints) plus both bias terms.
+    ``attempt_p: f32[E]`` enables edge importance sampling.
     """
-    return _edge_flip_sweep(spins, key, beta, tables, tables.n_edge_colors)
+    return _edge_flip_sweep(
+        spins, key, beta, tables, tables.n_edge_colors, attempt_p
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("nsweeps", "n_colors", "measure"))
