@@ -7,6 +7,7 @@ lattices. Energy/magnetization estimators are fused reductions.
 """
 
 from isingmontecarlo_tpu.classical.graph_state import GraphState
+from isingmontecarlo_tpu.classical.lattice_ising import LatticeIsing
 from isingmontecarlo_tpu.classical import metropolis, worm, cluster
 
-__all__ = ["GraphState", "metropolis", "worm", "cluster"]
+__all__ = ["GraphState", "LatticeIsing", "metropolis", "worm", "cluster"]

@@ -19,7 +19,10 @@ import jax  # noqa: E402  (after env setup)
 
 # The axon TPU plugin in this image overrides the JAX_PLATFORMS env var; the
 # config route still works and must run before backend initialization.
-jax.config.update("jax_platforms", "cpu")
+# JAX_REAL_TPU=1 skips the CPU forcing so tests/test_tpu_kernels.py can run
+# on hardware.
+if not os.environ.get("JAX_REAL_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # NOTE: the persistent compilation cache is deliberately NOT enabled. In this
 # image the cache write path (zstandard backend) segfaults and cached XLA:CPU
