@@ -10,9 +10,6 @@ The timestep composition mirrors ``qmc_ising.rs:644-795``:
 3. resample spins with no ops;
 4. grow the cutoff ``M = max(M, n + n/2)`` (host-side re-pad here).
 
-RVB updates (``set_run_rvb``) are scheduled for a later round; enabling them
-currently raises ``NotImplementedError``.
-
 The functional core (:func:`sweep`, :func:`multi_sweep`) is pure and
 jit-compiled; :class:`QmcIsingGraph` is the stateful convenience wrapper
 mirroring the reference's entry points (``new_with_rng``, ``timesteps``,

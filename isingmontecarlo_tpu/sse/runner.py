@@ -11,6 +11,7 @@ free bits (``qmc_runner.rs:363-377``).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -22,6 +23,41 @@ from isingmontecarlo_tpu.sse import diagonal as _diag
 from isingmontecarlo_tpu.sse import opstring as _ops
 from isingmontecarlo_tpu.sse.ising import SseState, resample_free_spins
 from isingmontecarlo_tpu.sse.model import BondModel, generic_model
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsweeps", "do_loops", "do_cluster", "heatbath")
+)
+def generic_multi_sweep(
+    sse: SseState,
+    beta: jax.Array,
+    model: BondModel,
+    nsweeps: int,
+    do_loops: bool,
+    do_cluster: bool,
+    heatbath: bool = False,
+    hb=None,
+):
+    """``nsweeps`` generic-engine timesteps (``qmc_runner.rs:363-377``:
+    diagonal -> optional directed loop -> optional cluster -> free-bit
+    resample) under one jit. Returns ``(sse, op counts i32[T, R])``."""
+    from isingmontecarlo_tpu.sse import loops as _loops
+
+    def body(sse, _):
+        key, k_d, k_l, k_c, k_f = jax.random.split(sse.key, 5)
+        ops = _diag.diagonal_update(
+            sse.ops, sse.state, beta, k_d, model, hb=hb, heatbath=heatbath
+        )
+        state = sse.state
+        if do_loops:
+            ops, state = _loops.loop_update(ops, state, k_l, model)
+        if do_cluster:
+            ops, state = _cluster.cluster_update(ops, state, k_c, model)
+        new = SseState(ops=ops, state=state, key=key)
+        new = resample_free_spins(new, k_f, model)
+        return new, _ops.op_count(new.ops)
+
+    return jax.lax.scan(body, sse, None, length=nsweeps)
 
 
 def _sym_under_ising(mat: np.ndarray, k: int) -> bool:
@@ -159,31 +195,28 @@ class Qmc:
 
     # -- stepping ----------------------------------------------------------
 
+    def _multi_timestep(self, beta: float, nsweeps: int) -> jax.Array:
+        """``nsweeps`` timesteps fused under one jit (the generic-engine
+        analog of ``multi_sweep``); returns per-sweep op counts ``i32[T, R]``
+        and leaves the new state in ``self._sse``."""
+        sse = self._ensure_sse()
+        self._sse, ns = generic_multi_sweep(
+            sse,
+            jnp.float32(beta),
+            self.model,
+            nsweeps,
+            do_loops=self.do_loop_updates,
+            do_cluster=self.should_do_cluster_update(),
+            heatbath=self._do_heatbath,
+            hb=self._hb if self._do_heatbath else None,
+        )
+        self._maybe_grow()
+        return ns
+
     def timestep(self, beta: float) -> jax.Array:
         """One timestep (``qmc_runner.rs:363-377``)."""
-        from isingmontecarlo_tpu.sse import loops as _loops
-
-        sse = self._ensure_sse()
-        key, k_d, k_l, k_c, k_f = jax.random.split(sse.key, 5)
-        ops = _diag.diagonal_update(
-            sse.ops,
-            sse.state,
-            jnp.float32(beta),
-            k_d,
-            self.model,
-            hb=self._hb if self._do_heatbath else None,
-            heatbath=self._do_heatbath,
-        )
-        state = sse.state
-        if self.do_loop_updates:
-            ops, state = _loops.loop_update(ops, state, k_l, self.model)
-        if self.should_do_cluster_update():
-            ops, state = _cluster.cluster_update(ops, state, k_c, self.model)
-        sse = SseState(ops=ops, state=state, key=key)
-        sse = resample_free_spins(sse, k_f, self.model)
-        self._sse = sse
-        self._maybe_grow()
-        return sse.state
+        self._multi_timestep(beta, 1)
+        return self._sse.state
 
     def _maybe_grow(self) -> None:
         sse = self._ensure_sse()
@@ -193,34 +226,77 @@ class Qmc:
             new_m = ((want + 15) // 16) * 16
             self._sse = sse._replace(ops=_ops.grow(sse.ops, new_m))
 
-    def timesteps(self, t: int, beta: float) -> jax.Array:
-        """Average energy per replica over ``t`` steps (``qmc_stepper.rs:17``)."""
+    def timesteps(self, t: int, beta: float, chunk: int = 16) -> jax.Array:
+        """Average energy per replica over ``t`` steps (``qmc_stepper.rs:17``),
+        running ``chunk`` fused timesteps per dispatch."""
         total_n = jnp.zeros((self.replicas,), jnp.float32)
-        for _ in range(t):
-            self.timestep(beta)
-            total_n = total_n + _ops.op_count(self._sse.ops)
+        done = 0
+        while done < t:
+            todo = min(chunk, t - done)
+            ns = self._multi_timestep(beta, todo)
+            total_n = total_n + jnp.sum(ns.astype(jnp.float32), axis=0)
+            done += todo
         avg_n = total_n / t
         return -(avg_n / beta) + self.model.offset
 
     def timesteps_sample(self, t: int, beta: float, sampling_freq: int | None = None):
         freq = sampling_freq or 1
         samples = []
+        acc, energy = self.timesteps_measure(
+            t, beta, samples,
+            lambda acc, s: (acc.append(np.asarray(s)), acc)[1],
+            sampling_freq,
+        )
+        states = (
+            np.stack(acc) if acc else np.zeros((0, self.replicas, self.nvars), bool)
+        )
+        return states, energy
+
+    def timesteps_measure(
+        self,
+        t: int,
+        beta: float,
+        init_acc,
+        state_fold,
+        sampling_freq: int | None = None,
+    ):
+        """Fold over sampled states (``qmc_stepper.rs:133-162`` for the
+        generic engine): measure every ``sampling_freq``-th step, accumulate
+        the op count for the energy estimator; returns ``(acc, f32[R])``."""
+        freq = sampling_freq or 1
+        acc = init_acc
         total_n = jnp.zeros((self.replicas,), jnp.float32)
         measured = 0
         for i in range(t):
             self.timestep(beta)
             if (i + 1) % freq == 0:
-                samples.append(np.asarray(self._sse.state))
+                acc = state_fold(acc, self._sse.state)
                 total_n = total_n + _ops.op_count(self._sse.ops)
                 measured += 1
         avg_n = total_n / max(measured, 1)
-        energy = -(avg_n / beta) + self.model.offset
-        states = (
-            np.stack(samples)
-            if samples
-            else np.zeros((0, self.replicas, self.nvars), bool)
+        return acc, -(avg_n / beta) + self.model.offset
+
+    def timesteps_sample_iter(
+        self, t: int, beta: float, sampling_freq, iter_fn
+    ) -> jax.Array:
+        """``qmc_stepper.rs:43-73`` for the generic engine."""
+        _, energy = self.timesteps_measure(
+            t, beta, None, lambda acc, s: (iter_fn(s), acc)[1], sampling_freq
         )
-        return states, energy
+        return energy
+
+    # -- manager/state swap (SwapManagers for Qmc, qmc_runner.rs:319-341) ---
+
+    def can_swap_managers(self, other: "Qmc") -> bool:
+        return (
+            self.nvars == other.nvars
+            and self.replicas == other.replicas
+            and self.model.nbonds == other.model.nbonds
+        )
+
+    def swap_manager_and_state(self, other: "Qmc") -> None:
+        assert self.can_swap_managers(other)
+        self._sse, other._sse = other._ensure_sse(), self._ensure_sse()
 
     def increase_cutoff_to(self, cutoff: int) -> None:
         """Grow the op-string capacity (``qmc_runner.rs:306-312``)."""
