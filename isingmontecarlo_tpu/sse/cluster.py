@@ -13,11 +13,14 @@ corresponding side's spins; a transverse op with exactly one flipped side
 becomes off-diagonal. Finally the p=0 state is re-read from the (possibly
 flipped) inputs of the first op on each variable (``cluster.rs:150-160``).
 
-TPU-native form: cluster construction is iterated min-label propagation with
-pointer jumping over node array ``i32[2M, R]`` (node id ``2p + side``), with
-two merge rules — within-op for non-edge ops, and worldline successor links
-derived by one sort of all legs along imaginary time. Per-cluster decisions
-are gathers keyed by the cluster's root label.
+TPU-native form: cluster construction is iterated min-label propagation over
+op-side nodes (the vectorized cluster-search lineage of Mino's
+self-labeling, arXiv:hep-lat/9112001, and GPU Swendsen-Wang label
+propagation, arXiv:2302.14720), with two merge rules — within-op for
+non-edge ops, and worldline successor links derived by one sort of all legs
+along imaginary time; see :func:`cluster_labels` for the sorted-path-space
+iteration. Per-cluster decisions are gathers keyed by the cluster's root
+label.
 
 Deviation from the reference: when no constant op exists the reference treats
 the whole op string as a single cluster (``cluster.rs:98-107``); label
