@@ -193,7 +193,7 @@ def bench_suite() -> None:
     R = 256
     print("reference benchmark workloads (benches/end_to_end.rs):", file=sys.stderr)
     safe("one_d (L=16)", lattice.chain(16), 1.0, R)
-    for L in (4, 8, 16, 32):
+    for L in (4, 8, 16):
         safe(f"two_d_{L:02d}", lattice.frustrated_square(L, L), 1.0, R)
     safe("one_d_heatbath", lattice.chain(16), 1.0, R, heatbath=True)
     for L in (4, 8, 16):
@@ -207,6 +207,9 @@ def bench_suite() -> None:
             f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
             10.0, 64, rvb=(n + 1) // 2, warm=4,
         )
+    # Last: this program size intermittently crashes the tunnel's TPU worker
+    # (see CLAUDE.md); running it last keeps the rest of the table intact.
+    safe("two_d_32", lattice.frustrated_square(32, 32), 1.0, 64)
 
 
 def main() -> None:
