@@ -69,6 +69,27 @@ class TestHeteroContainer:
             0.5, 1.0, 2.0,
         ]
 
+    def test_hetero_ladder_sharded_over_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:8])
+        tc = TemperingContainer(
+            lattice.chain(4, j=1.0), 1.0,
+            betas=[1.0] * 8, replicas_per_beta=2,
+            transverse_scales=[0.6, 0.8, 0.9, 1.0, 1.1, 1.2, 1.4, 1.6],
+            seed=2,
+        )
+        tc.shard_over(Mesh(devs, axis_names=("replicas",)))
+        tc.timesteps(4)
+        tc.tempering_step()
+        tc.timesteps(2)
+        assert tc.verify()
+        got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
+        np.testing.assert_allclose(
+            got, sorted([0.6, 0.8, 0.9, 1.0, 1.1, 1.2, 1.4, 1.6] * 2), rtol=1e-6
+        )
+
     def test_per_replica_autocorrelations(self):
         edges = lattice.chain(4, j=1.0)
         tc = TemperingContainer(edges, 1.0, betas=[0.5, 2.0], seed=9)
