@@ -16,9 +16,9 @@ updates — only their in/out bits toggle). Exit-leg weights are table lookups
 in ``model.full_w``.
 
 Safety deviation: walks are capped at ``4*K*M + 16`` hops; replicas whose
-loop has not closed by then are reverted wholesale (op string and state).
-The reference would spin forever on a non-closing walk; reverts count as
-rejected moves and are reported via the returned ``completed`` mask.
+loop has not closed by then are reverted wholesale (op string and state),
+counting as rejected moves. The reference would spin forever on a
+non-closing walk.
 """
 
 from __future__ import annotations
