@@ -13,14 +13,17 @@ corresponding side's spins; a transverse op with exactly one flipped side
 becomes off-diagonal. Finally the p=0 state is re-read from the (possibly
 flipped) inputs of the first op on each variable (``cluster.rs:150-160``).
 
-TPU-native form: cluster construction is iterated min-label propagation over
-op-side nodes (the vectorized cluster-search lineage of Mino's
-self-labeling, arXiv:hep-lat/9112001, and GPU Swendsen-Wang label
-propagation, arXiv:2302.14720), with two merge rules — within-op for
-non-edge ops, and worldline successor links derived by one sort of all legs
-along imaginary time; see :func:`cluster_labels` for the sorted-path-space
-iteration. Per-cluster decisions are gathers keyed by the cluster's root
-label.
+TPU-native form: cluster construction is iterated min-label propagation (the
+vectorized cluster-search lineage of Mino's self-labeling,
+arXiv:hep-lat/9112001, and GPU Swendsen-Wang label propagation,
+arXiv:2302.14720) over a *segment-contracted* graph: each maximal worldline
+run between cluster-edge ops is one supernode (see :func:`segment_graph`),
+derived by one sort of all legs along imaginary time plus a break-count
+prefix sum. The contracted graph has < M + N nodes and edges per replica —
+~3x fewer label rows than op-side path space and small enough for the
+MXU one-hot gather path — and components are labeled by hook-and-compress
+union-find (:func:`_hook_compress_labels`), converging in O(log diameter)
+rounds. Per-cluster decisions are gathers keyed by the cluster's root label.
 
 Deviation from the reference: when no constant op exists the reference treats
 the whole op string as a single cluster (``cluster.rs:98-107``); label
@@ -39,9 +42,6 @@ import jax.numpy as jnp
 from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
 
-_BIG = jnp.int32(2**30)
-
-
 def _take0(arr, idx):
     """Gather along axis 0 with a [X, R] index grid."""
     return jnp.take_along_axis(arr, idx, axis=0)
@@ -49,19 +49,21 @@ def _take0(arr, idx):
 
 def _mm_take0(vals, idx, chunk=128):
     """``take_along_axis(vals, idx, axis=0)`` as a one-hot x vector batched
-    matmul on the MXU. TPU gathers with per-lane indices run at ~75M
-    elements/s (scalarized); routing the permutation through the systolic
-    array is 1.5-3.5x faster at these shapes and scales sub-linearly with the
-    replica count. f32 accumulation is exact for integer values < 2^24."""
-    rows, R = vals.shape
+    matmul on the MXU; supports ``idx`` with a different row count than
+    ``vals``. TPU gathers with per-lane indices run at ~75M elements/s
+    (scalarized); routing the permutation through the systolic array is
+    1.5-3.5x faster at these shapes and scales sub-linearly with the replica
+    count. f32 accumulation is exact for integer values < 2^24."""
+    rows_v, R = vals.shape
+    rows_i = idx.shape[0]
     chunk = min(chunk, R)
     G = -(-R // chunk)
     pad = G * chunk - R
     vc = jnp.pad(vals.T.astype(jnp.float32), ((0, pad), (0, 0))).reshape(
-        G, chunk, rows
+        G, chunk, rows_v
     )
-    ic = jnp.pad(idx.T, ((0, pad), (0, 0))).reshape(G, chunk, rows)
-    iota = jnp.arange(rows, dtype=jnp.int32)
+    ic = jnp.pad(idx.T, ((0, pad), (0, 0))).reshape(G, chunk, rows_i)
+    iota = jnp.arange(rows_v, dtype=jnp.int32)
 
     def step(c, xs):
         vg, ig = xs
@@ -70,73 +72,51 @@ def _mm_take0(vals, idx, chunk=128):
         return c, y
 
     _, out = jax.lax.scan(step, None, (vc, ic))
-    return out.reshape(G * chunk, rows)[:R].T.astype(vals.dtype)
+    return out.reshape(G * chunk, rows_i)[:R].T.astype(vals.dtype)
 
 
 def _take0_fast(vals, idx):
     """Platform-dispatched gather: MXU one-hot matmul on TPU for moderate row
     counts (exact for int32 values < 2^24), native gather otherwise."""
-    rows = vals.shape[0]
+    rows = max(vals.shape[0], idx.shape[0])
     if jax.default_backend() == "tpu" and rows <= 8192 and rows < (1 << 24):
         return _mm_take0(vals, idx)
     return jnp.take_along_axis(vals, idx, axis=0)
 
 
-def worldline_links(ops: OpString, model: BondModel):
-    """Per-leg worldline successors from one sort along time (see
-    :func:`isingmontecarlo_tpu.sse.opstring.worldline_maps`). Returns
-    ``(wnext, leg_var, order_info)`` for the state-rebuild step."""
-    from isingmontecarlo_tpu.sse.opstring import worldline_maps
+def segment_graph(ops: OpString, model: BondModel, leg_var, order_info=None):
+    """Contract worldline runs between cluster-edge ops into supernodes.
 
-    wnext, _, leg_var, order_info = worldline_maps(ops, model)
-    return wnext, leg_var, order_info
+    Cluster connectivity over op sides (``cluster.rs:193-271``) factors
+    through maximal worldline runs not interrupted by a cluster-edge op
+    (``is_valid_cluster_edge``, ``cluster.rs:276-286``): every op side in
+    such a run is in the same cluster, so the run is one supernode. Per
+    replica there are fewer than ``M + N`` supernodes (one break per edge op
+    plus one per variable worldline), statically padded to ``S = M + N + 1``
+    with a trailing dump row for invalid slots — typically ~3x fewer label
+    rows than the ``2*K*M`` op-side path space, and under the one-hot MXU
+    gather breakeven at the reference benchmark sizes.
 
+    Segment ids are break-count prefix sums over the sorted-leg path space
+    (element ``2j`` = in side, ``2j+1`` = out side of sorted leg ``j``; the
+    worldline sort makes runs contiguous). Graph edges: one per multi-leg op
+    chaining legs ``l, l+1`` through their in-side segments (``(K-1)*M``
+    rows; in/out of a non-edge op share a segment, so leg sides need no
+    separate edges) plus one periodic-wrap edge per variable (``N`` rows).
 
-def _seg_min_scan(W, breaks):
-    """Per-element minimum over its contiguous run: forward + backward
-    min-scans with resets at ``breaks`` (``breaks[e]`` = no edge between
-    ``e-1`` and ``e``). ``W: f/i32[E, R]``; log-depth associative scans."""
-
-    def op_fwd(a, b):
-        av, ab = a
-        bv, bb = b
-        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
-
-    fwd, _ = jax.lax.associative_scan(op_fwd, (W, breaks), axis=0)
-    # Backward: break between e and e+1 is breaks[e+1]; shift accordingly.
-    rb = jnp.concatenate([breaks[1:], jnp.ones_like(breaks[:1])], axis=0)[::-1]
-    bwd, _ = jax.lax.associative_scan(op_fwd, (W[::-1], rb), axis=0)
-    return jnp.minimum(fwd, bwd[::-1])
-
-
-
-
-def cluster_labels(ops: OpString, model: BondModel, wnext, wprev, leg_var,
-                   order_info=None):
-    """Min-label clusters over op sides. Returns ``labels: i32[2M, R]``.
-
-    Node ``2p`` = input side, ``2p+1`` = output side of the op at slot ``p``.
-
-    The iteration runs in sorted-leg *path space*: along each variable's
-    worldline the nodes form the path ``... out(op_j) - in(op_{j+1}) -
-    [within-op] - out(op_{j+1}) ...`` which is contiguous after the
-    worldline sort, so min-label propagation along worldlines is two
-    segmented scans (full worldline range per iteration) instead of
-    distance-1 gather steps; breaks sit at cluster-edge ops
-    (``is_valid_cluster_edge``, ``cluster.rs:276-286``) where the in/out
-    sides are disconnected. Cross-variable flow goes through each op's other
-    legs (one sibling-map gather) and the periodic wrap through one
-    wrap-predecessor gather. This converges in O(cluster diameter in op-hops)
-    iterations instead of O(worldline length).
+    Returns ``(seg_in, seg_out, u, v, S)`` with per-op side segment ids
+    ``i32[M, R]`` and edge endpoint lists ``i32[E, R]``.
     """
-    from isingmontecarlo_tpu.sse.opstring import worldline_maps
+    from isingmontecarlo_tpu.sse.opstring import worldline_order
 
     M, R = ops.bond.shape
     K = ops.max_legs
     KM = K * M
+    N = model.nvars
+    S = M + N + 1
 
     if order_info is None:
-        _, _, _, order_info = worldline_maps(ops, model)
+        _, order_info = worldline_order(ops, model)
     order, svar, seg_start = order_info  # [KM, R]
 
     valid_op = ops.bond >= 0  # [M, R]
@@ -144,9 +124,7 @@ def cluster_labels(ops: OpString, model: BondModel, wnext, wprev, leg_var,
     arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)  # [M, R]
     is_edge = model.is_constant[b] & (arity == 1) & valid_op  # cluster.rs:276-286
 
-    # Sorted-space per-position op data. f = order[j], p = f % M.
-    f_sorted = order
-    p_sorted = f_sorted % M
+    p_sorted = order % M
     valid_j = svar >= 0
     edge_j = _take0(is_edge, p_sorted) & valid_j
 
@@ -155,67 +133,105 @@ def cluster_labels(ops: OpString, model: BondModel, wnext, wprev, leg_var,
     src = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
     rank = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(src)
 
-    # Sibling map in path space: position of the op's next leg (cyclic over
-    # its legs), so K-leg ops chain all their legs over K-1 merges.
-    l_sorted = f_sorted // M
-    l_next = (l_sorted + 1) % K
-    f_sib = l_next * M + p_sorted
-    sib_leg_valid = _take0(leg_var, f_sib) >= 0
-    j_sib = jnp.where(valid_j & sib_leg_valid, _take0(rank, f_sib), src)
-    # Path space has 2 elements per sorted position: e = 2j (+side).
-    sib_map = jnp.stack([2 * j_sib, 2 * j_sib + 1], axis=1).reshape(2 * KM, R)
+    # Path-space breaks: a new segment starts at worldline group heads
+    # (before the in element) and at the in->out boundary of edge ops.
+    break_in = seg_start & valid_j
+    breaks = jnp.stack([break_in, edge_j], axis=1).reshape(2 * KM, R)
+    valid_e = jnp.repeat(valid_j, 2, axis=0)
+    seg_raw = jnp.cumsum(breaks.astype(jnp.int32), axis=0) - 1
+    seg_e = jnp.where(valid_e, seg_raw, S - 1)
+    seg_in_j = seg_e[0::2]  # [KM, R] segment of sorted leg j's in element
+    seg_out_j = seg_e[1::2]
 
-    # Group bounds in sorted space (per-var worldline wrap).
-    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
-    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
+    # Sibling edges: chain legs l and l+1 of each op via their in elements.
+    rank_k = rank.reshape(K, M, R)
+    lv_k = leg_var.reshape(K, M, R)
+    us, vs = [], []
+    for l in range(K - 1):
+        ok = (lv_k[l] >= 0) & (lv_k[l + 1] >= 0)
+        ua = _take0(seg_in_j, rank_k[l])
+        ub = _take0(seg_in_j, rank_k[l + 1])
+        us.append(jnp.where(ok, ua, S - 1))
+        vs.append(jnp.where(ok, ub, S - 1))
+
+    # Wrap edges: head-in segment <-> tail-out segment per variable group.
     seg_end = jnp.concatenate(
         [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
     )
-    group_end = jax.lax.cummax(jnp.where(seg_end[::-1], j, 0), axis=0)[::-1]
-    group_end = KM - 1 - group_end
-    # Wrap edge: in-element of a group head <- out-element of the group end.
-    at_head = seg_start & valid_j
-    wrap_map_in = jnp.where(at_head, 2 * group_end + 1, 2 * j)
-    at_end = seg_end & valid_j
-    wrap_map_out = jnp.where(at_end, 2 * group_start, 2 * j + 1)
-    wrap_map = jnp.stack([wrap_map_in, wrap_map_out], axis=1).reshape(2 * KM, R)
-
-    # Path breaks: before in-element at group heads / invalid; between in and
-    # out at cluster-edge ops (and invalid positions).
-    break_in = seg_start | ~valid_j  # before e = 2j
-    break_out = edge_j | ~valid_j  # before e = 2j + 1
-    breaks = jnp.stack([break_in, break_out], axis=1).reshape(2 * KM, R)
-
-    # Initial labels: node ids (in = 2p, out = 2p+1); invalid positions carry
-    # a sentinel larger than any node id so they never win a min.
-    W0 = jnp.stack([2 * p_sorted, 2 * p_sorted + 1], axis=1).reshape(2 * KM, R)
-    W0 = jnp.where(
-        jnp.repeat(valid_j, 2, axis=0), W0, _BIG
+    head = seg_start & valid_j
+    tail = seg_end & valid_j
+    uw = (
+        jnp.full((N, R), S - 1, jnp.int32)
+        .at[jnp.where(head, svar, N), cols]
+        .set(seg_in_j, mode="drop")
     )
+    vw = (
+        jnp.full((N, R), S - 1, jnp.int32)
+        .at[jnp.where(tail, svar, N), cols]
+        .set(seg_out_j, mode="drop")
+    )
+    u = jnp.concatenate(us + [uw], axis=0)
+    v = jnp.concatenate(vs + [vw], axis=0)
 
-    # Path position of each op's leg-0 (for the node-space readback below).
-    j0 = _take0(rank, jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], (M, R)))
+    # Per-op side segment ids (leg 0 exists for every valid op).
+    j0 = rank_k[0]
+    seg_in = jnp.where(valid_op, _take0(seg_in_j, j0), S - 1)
+    seg_out = jnp.where(valid_op, _take0(seg_out_j, j0), S - 1)
+    return seg_in, seg_out, u, v, S
+
+
+def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
+    """Connected components over the (fixed) segment edge list by
+    hook-and-compress (the bulk-synchronous union-find family of
+    Shiloach-Vishkin / GPU CC kernels, cf. arXiv:2302.14720): each round
+    hooks ``min(P[u], P[v])`` onto the row of the *larger endpoint label*
+    (``P[max] <- min``) and then pointer-jumps ``P <- P[P]`` ``n_compress``
+    times. Hooking writes to the label's own row, so jumping halves parent
+    chains and the fixpoint arrives in O(log diameter) rounds — measured 6
+    rounds / 129 ms at 32^2 (M=5152, R=64) versus 42-105 rounds / ~1 s for
+    diameter-bound min-label edge relaxation, which was the previous scheme.
+
+    Invariants: ``P[x] <= x`` and values stay inside the component, so the
+    fixpoint assigns every segment of a component the same root id (not
+    necessarily the component minimum — callers only use label equality).
+    Gathers ride the MXU one-hot path (``_take0_fast``); the contraction
+    keeps ``S`` under its breakeven at reference benchmark sizes."""
+    E, R = u.shape
+    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
+    P0 = jnp.tile(jnp.arange(S, dtype=jnp.int32)[:, None], (1, R))
 
     def body(state):
-        W, _ = state
-        Wn = _seg_min_scan(W, breaks)
-        Wn = jnp.minimum(Wn, _take0_fast(Wn, sib_map))
-        Wn = jnp.minimum(Wn, _take0_fast(Wn, wrap_map))
-        return Wn, jnp.any(Wn != W)
+        P, _ = state
+        pu = _take0_fast(P, u)
+        pv = _take0_fast(P, v)
+        m = jnp.minimum(pu, pv)
+        mx = jnp.maximum(pu, pv)
+        Pn = P.at[mx, cols].min(m)
+        for _ in range(n_compress):
+            Pn = _take0_fast(Pn, Pn)
+        return Pn, jnp.any(Pn != P)
 
-    # NOTE: label-value pointer jumping was measured and does NOT pay here —
-    # min-id labels usually point to nearby nodes so the radius does not
-    # double, and TPU gathers with per-lane indices cost ~linear in elements
-    # (the extra two gathers outweigh the saved iterations).
-    W, _ = jax.lax.while_loop(lambda s: s[1], body, (W0, jnp.asarray(True)))
-    lab_in = _take0(W, 2 * j0)
-    lab_out = _take0(W, 2 * j0 + 1)
-    node_default = jnp.arange(2 * M, dtype=jnp.int32)[:, None]
-    labels = jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
-    labels = jnp.where(
-        jnp.repeat(valid_op, 2, axis=0), labels, jnp.broadcast_to(node_default, (2 * M, R))
-    )
-    return labels
+    P, _ = jax.lax.while_loop(lambda s: s[1], body, (P0, jnp.asarray(True)))
+    return P
+
+
+def cluster_labels(ops: OpString, model: BondModel, wnext=None, wprev=None,
+                   leg_var=None, order_info=None):
+    """Min-label clusters over op sides via the contracted segment graph.
+    Returns ``labels: i32[2M, R]`` (node ``2p`` = input side, ``2p+1`` =
+    output side of slot ``p``); label values are component-min *segment* ids
+    in ``[0, M+N]`` — equality defines the partition. Invalid slots share
+    the dump segment's label."""
+    from isingmontecarlo_tpu.sse.opstring import worldline_order
+
+    if leg_var is None or order_info is None:
+        leg_var, order_info = worldline_order(ops, model)
+    seg_in, seg_out, u, v, S = segment_graph(ops, model, leg_var, order_info)
+    W = _hook_compress_labels(u, v, S)
+    lab_in = _take0_fast(W, seg_in)
+    lab_out = _take0_fast(W, seg_out)
+    M, R = ops.bond.shape
+    return jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -236,16 +252,20 @@ def cluster_update(
     model's weight tables so the same kernel serves symmetric models
     (ratio identically 1).
     """
-    from isingmontecarlo_tpu.sse.opstring import worldline_maps
+    from isingmontecarlo_tpu.sse.opstring import worldline_order
 
     M, R = ops.bond.shape
     K = ops.max_legs
 
-    wnext, wprev, leg_var, (order, svar, seg_start) = worldline_maps(ops, model)
-    labels = cluster_labels(ops, model, wnext, wprev, leg_var)  # [2M, R]
+    leg_var, order_info = worldline_order(ops, model)
+    order, svar, seg_start = order_info
+    seg_in, seg_out, gu, gv, S = segment_graph(ops, model, leg_var, order_info)
+    W = _hook_compress_labels(gu, gv, S)
+    lab_in = _take0_fast(W, seg_in)  # [M, R] component root id
+    lab_out = _take0_fast(W, seg_out)
 
     k_u = jax.random.fold_in(key, 0)
-    u_root = jax.random.uniform(k_u, (2 * M, R))
+    u_root = jax.random.uniform(k_u, (S, R))
 
     valid_op = ops.bond >= 0
     b = jnp.maximum(ops.bond, 0)
@@ -263,23 +283,19 @@ def cluster_update(
         w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
         w_flip = jnp.where(fsi == fso, model.diag_w[b, fsi], 0.0)
 
-    lab_in = labels[0::2]  # [M, R]
-    lab_out = labels[1::2]
     both_sides = valid_op & (lab_in == lab_out)  # cluster.rs:120-128
     ratio = jnp.where(both_sides, w_flip / jnp.maximum(w_cur, 1e-30), 1.0)
     frozen = both_sides & (w_flip <= 0.0)
 
     logr = jnp.where(both_sides, jnp.log(jnp.maximum(ratio, 1e-30)), 0.0)
     rows_m = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
-    acc_logr = jnp.zeros((2 * M, R), jnp.float32).at[lab_in, rows_m].add(logr)
-    acc_frozen = jnp.zeros((2 * M, R), bool).at[lab_in, rows_m].max(frozen)
+    acc_logr = jnp.zeros((S, R), jnp.float32).at[lab_in, rows_m].add(logr)
+    acc_frozen = jnp.zeros((S, R), bool).at[lab_in, rows_m].max(frozen)
 
     flip_prob = jnp.minimum(prob * jnp.exp(acc_logr), 1.0)
-    flip_root = (u_root < flip_prob) & ~acc_frozen  # [2M, R] per root id
-    flip_node = _take0(flip_root, labels)  # [2M, R]
-
-    flip_in = flip_node[0::2] & valid_op  # [M, R]
-    flip_out = flip_node[1::2] & valid_op
+    flip_root = (u_root < flip_prob) & ~acc_frozen  # [S, R] per root id
+    flip_in = _take0_fast(flip_root, lab_in) & valid_op  # [M, R]
+    flip_out = _take0_fast(flip_root, lab_out) & valid_op
 
     legv = jnp.moveaxis(
         jnp.where((ops.bond >= 0)[..., None], model.bond_vars[b], -1), -1, 0

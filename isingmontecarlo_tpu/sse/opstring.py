@@ -97,6 +97,32 @@ def op_vars(ops: OpString, model: BondModel) -> jax.Array:
     return jnp.where((ops.bond >= 0)[None], vars_, -1)
 
 
+def worldline_order(ops: OpString, model: BondModel):
+    """The sorted-leg order info only (no successor/predecessor maps): one
+    sort of all legs by (variable, imaginary time). Returns ``(leg_var,
+    (order, svar, seg_start))`` — the subset of :func:`worldline_maps` needed
+    by consumers that work in sorted path space (the cluster update), saving
+    the successor/predecessor scatters."""
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    KM = K * M
+    _BIG = jnp.int32(2**30)
+
+    b = jnp.maximum(ops.bond, 0)
+    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)
+    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
+    leg_var = vars_kmr.reshape(KM, R)
+    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
+
+    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
+    order = jnp.argsort(key, axis=0).astype(jnp.int32)
+    svar = jnp.take_along_axis(leg_var, order, axis=0)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
+    )
+    return leg_var, (order, svar, seg_start)
+
+
 def worldline_maps(ops: OpString, model: BondModel):
     """Flat-leg successor AND predecessor maps (periodic) derived by one sort
     of all legs along imaginary time — the TPU replacement for the

@@ -1,0 +1,88 @@
+"""Partition oracle for the segment-contracted cluster labeling.
+
+The TPU-native cluster construction (``sse/cluster.py``) must produce the
+same partition of op sides as the reference's BFS cluster expansion
+(``src/sse/qmc_traits/cluster.rs:193-271``): sides of one op connect unless
+the op is a cluster edge (constant single-var op,  ``cluster.rs:276-286``),
+and worldline neighbors connect periodically. This test checks label
+equivalence against a brute-force union-find on op strings produced by real
+sweeps.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu.sse import cluster as _cluster
+from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+
+def brute_partition(bond, is_const_tab, bond_vars):
+    """Union-find over op sides (node 2p = in side, 2p+1 = out side)."""
+    M = bond.shape[0]
+    parent = list(range(2 * M))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    per_var = {}
+    for p in range(M):
+        b = bond[p]
+        if b < 0:
+            continue
+        vs = [v for v in bond_vars[b] if v >= 0]
+        if not (bool(is_const_tab[b]) and len(vs) == 1):
+            union(2 * p, 2 * p + 1)
+        for v in vs:
+            per_var.setdefault(v, []).append(p)
+    for ps in per_var.values():
+        for i, p in enumerate(ps):
+            union(2 * p + 1, 2 * ps[(i + 1) % len(ps)])
+    return [find(2 * p) for p in range(M)], [find(2 * p + 1) for p in range(M)]
+
+
+@pytest.mark.parametrize(
+    "L,beta,transverse,longitudinal,seed",
+    [
+        (3, 1.0, 1.0, 0.0, 0),
+        (3, 2.0, 0.7, 0.3, 1),
+        (4, 1.0, 1.5, 0.0, 2),
+        (4, 0.5, 1.0, 0.5, 3),
+        (2, 4.0, 2.0, 0.0, 4),
+    ],
+)
+def test_labels_match_union_find(L, beta, transverse, longitudinal, seed):
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(
+        edges, transverse=transverse, longitudinal=longitudinal,
+        replicas=4, seed=seed,
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 12)
+    g._maybe_grow()
+    ops, model = g.sse.ops, g.model
+    labels = np.asarray(_cluster.cluster_labels(ops, model))  # [2M, R]
+    bond = np.asarray(ops.bond)
+    bv = np.asarray(model.bond_vars)
+    ic = np.asarray(model.is_constant)
+    M, R = bond.shape
+    for r in range(R):
+        ref_in, ref_out = brute_partition(bond[:, r], ic, bv)
+        fwd, bwd = {}, {}
+        for p in range(M):
+            if bond[p, r] < 0:
+                continue
+            for ref_l, got_l in (
+                (ref_in[p], labels[2 * p, r]),
+                (ref_out[p], labels[2 * p + 1, r]),
+            ):
+                assert fwd.setdefault(ref_l, got_l) == got_l, f"r={r} p={p}"
+                assert bwd.setdefault(got_l, ref_l) == ref_l, f"r={r} p={p}"
