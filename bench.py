@@ -257,6 +257,13 @@ def main() -> None:
             print(f"sse: {s}", file=sys.stderr)
         except Exception as e:  # diagnostics must not kill the record
             print(f"sse diagnostic failed: {e}", file=sys.stderr)
+        if not args.smoke:
+            # North star #2: ESS/sec on the 32^2 SSE TFIM (BASELINE.md).
+            try:
+                s32 = bench_sse(L=32, replicas=64, nsweeps=8, reps=2)
+                print(f"sse 32x32: {s32}", file=sys.stderr)
+            except Exception as e:
+                print(f"sse 32x32 diagnostic failed: {e}", file=sys.stderr)
 
     if args.suite:
         bench_suite()

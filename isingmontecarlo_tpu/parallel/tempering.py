@@ -161,6 +161,23 @@ class TemperingContainer:
         self._parity = 0
         self.total_swaps = 0
         self._key = jax.random.key(seed + 0x7E47)
+        self._heatbath = False
+        self._hb = None
+
+    def set_enable_heatbath(self, enable: bool) -> None:
+        """Heat-bath diagonal updates for the whole ladder
+        (``set_enable_heatbath``, ``qmc_ising.rs:444-486``). Heterogeneous
+        ladders get per-replica cumulative bond-weight tables — the
+        reference's per-graph ``BondWeights``."""
+        from isingmontecarlo_tpu.sse import diagonal as _diag
+
+        self._heatbath = enable
+        if enable:
+            self._hb = _diag.make_heatbath_tables(
+                self.graph.model, self._bond_scale()
+            )
+        else:
+            self._hb = None
 
     @property
     def replicas(self) -> int:
@@ -186,8 +203,8 @@ class TemperingContainer:
                 self.betas,
                 self.graph.model,
                 todo,
-                hb=None,
-                heatbath=False,
+                hb=self._hb,
+                heatbath=self._heatbath,
                 bond_scale=self._bond_scale(),
             )
             done += todo
@@ -210,6 +227,11 @@ class TemperingContainer:
         self.betas = self.betas[perm]
         if self.hetero:
             self.scales = self.scales[perm]
+            if self._hb is not None:  # per-replica tables follow their labels
+                self._hb = type(self._hb)(
+                    cum_max_w=self._hb.cum_max_w[perm],
+                    total=self._hb.total[perm],
+                )
         self._parity = 1 - self._parity
         self.total_swaps += int(swaps)
         return int(swaps)

@@ -36,16 +36,25 @@ from isingmontecarlo_tpu.sse.opstring import OpString, op_count
 
 
 class HeatBathTables(NamedTuple):
-    """Precomputed ``BondWeights`` (``heatbath.rs:10-61``)."""
+    """Precomputed ``BondWeights`` (``heatbath.rs:10-61``). Per-model
+    (``cum_max_w: f32[NB]``, scalar total) or per-replica
+    (``f32[R, NB]`` / ``f32[R]``) when bond scales differ across the batch —
+    the reference's per-graph ``BondWeights`` in a heterogeneous tempering
+    ladder."""
 
-    cum_max_w: jax.Array  # f32[NB] inclusive cumulative max weights
-    total: jax.Array  # f32[] total weight
+    cum_max_w: jax.Array  # f32[NB] or f32[R, NB] inclusive cumulative maxima
+    total: jax.Array  # f32[] or f32[R] total weight
 
 
-def make_heatbath_tables(model: BondModel) -> HeatBathTables:
+def make_heatbath_tables(
+    model: BondModel, bond_scale: jax.Array | None = None
+) -> HeatBathTables:
     maxw = model.max_diag_w()
-    cum = jnp.cumsum(maxw)
-    return HeatBathTables(cum_max_w=cum, total=cum[-1])
+    if bond_scale is None:
+        cum = jnp.cumsum(maxw)
+        return HeatBathTables(cum_max_w=cum, total=cum[-1])
+    cum = jnp.cumsum(maxw[None, :] * bond_scale, axis=1)  # [R, NB]
+    return HeatBathTables(cum_max_w=cum, total=cum[:, -1])
 
 
 def _gather_state_bits(state, vars_p, rows):
@@ -63,7 +72,7 @@ def _substate_idx(bits):
     return jnp.sum(bits.astype(jnp.int32) * w, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("heatbath",))
+@functools.partial(jax.jit, static_argnames=("heatbath", "unroll"))
 def diagonal_update(
     ops: OpString,
     state: jax.Array,  # bool[R, N]
@@ -73,6 +82,7 @@ def diagonal_update(
     hb: HeatBathTables | None = None,
     heatbath: bool = False,
     bond_scale: jax.Array | None = None,  # f32[R, NB]
+    unroll: int = 4,
 ) -> OpString:
     """One full diagonal sweep. Returns the updated op string.
 
@@ -88,10 +98,11 @@ def diagonal_update(
     RVB) only ever use *ratios* of same-bond or same-class weights, so a
     class-uniform scale cancels there and needs no plumbing.
     """
-    assert not (heatbath and bond_scale is not None), (
-        "heat-bath tables are per-model; per-replica bond scales require the "
-        "Metropolis diagonal update"
-    )
+    if heatbath and bond_scale is not None:
+        assert hb is not None and hb.cum_max_w.ndim == 2, (
+            "per-replica bond scales with heat-bath need per-replica tables "
+            "(make_heatbath_tables(model, bond_scale))"
+        )
     M, R = ops.bond.shape
     K = ops.max_legs
     NB = model.nbonds
@@ -132,7 +143,13 @@ def diagonal_update(
 
         # --- proposal bond ------------------------------------------------
         if heatbath:
-            b_new = jnp.searchsorted(hb.cum_max_w, u1 * hb.total).astype(jnp.int32)
+            if hb.cum_max_w.ndim == 2:  # per-replica tables [R, NB]
+                tgt = (u1 * hb.total)[:, None]
+                b_new = jnp.sum(hb.cum_max_w < tgt, axis=1).astype(jnp.int32)
+            else:
+                b_new = jnp.searchsorted(hb.cum_max_w, u1 * hb.total).astype(
+                    jnp.int32
+                )
             b_new = jnp.minimum(b_new, NB - 1)
         else:
             b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
@@ -150,6 +167,8 @@ def diagonal_update(
         if heatbath:
             ins_try = u0 * (mmn + bw_tot) < bw_tot
             maxw = max_w_tab[b_new]
+            if bond_scale is not None:
+                maxw = maxw * bond_scale[rows, b_new]
             insert = is_ident & ins_try & (u2 * maxw < w_new)
             remove = is_diag & (u0 * (mmn + 1.0 + bw_tot) < (mmn + 1.0))
         else:
@@ -174,7 +193,9 @@ def diagonal_update(
     )
     # unroll: the per-slot body is small vector work ([R]-wide); unrolling
     # amortizes the TPU loop overhead over several imaginary-time slots.
-    (_, _), (new_bond, new_in) = jax.lax.scan(step, (state, n0), xs, unroll=4)
+    (_, _), (new_bond, new_in) = jax.lax.scan(
+        step, (state, n0), xs, unroll=unroll
+    )
     new_in = jnp.moveaxis(new_in, 0, 1)  # [K, M, R]
     # Inserted/removed slots are diagonal: outputs follow inputs there; slots
     # holding off-diagonal ops are untouched by the sweep.

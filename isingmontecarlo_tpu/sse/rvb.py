@@ -28,10 +28,13 @@ Semantics (mirroring the reference):
 
 TPU-native form: everything is batched over replicas. The reference's
 heap-merged sparse sweep becomes a dense ``lax.scan`` over all imaginary-time
-slots with O(1)-per-step incremental updates of the boundary-weight totals
-(the heap only skips work; the dense scan does the same update at every slot,
-masked). The weighted BFS becomes a Gumbel-categorical pop loop over a fixed
-element space of size M + N. The subsection machinery
+slots; the boundary-weight totals the reference maintains incrementally are
+recomputed at each slot as an O(NE) vectorized reduction over the static
+edge list from the carried ``(substate, in-cluster)`` masks — identical
+values, far fewer per-step ops, and the work vectorizes across VPU lanes
+(the heap only skips work; the dense scan does the same update at every
+slot, masked). The weighted BFS becomes a Gumbel-categorical pop loop over a
+fixed element space of size M + N. The subsection machinery
 (``diagonal_subsection.rs``) the reference needs to touch only O(cluster)
 worldline is subsumed: the dense scan touches every slot anyway, amortized
 across the replica batch.
@@ -309,46 +312,15 @@ def _edge_weight(model, b_safe, sa, sb):
     return model.diag_w[b_safe, si]
 
 
-def _boundary_contrib(model, tables, substate, incl, u, rows):
-    """Sum over edge bonds adjacent to var ``u`` of the boundary-bond weights
-    (before, after) under the current state. Returns ``(wb, wa): f32[R]``."""
-    D = tables.neigh_bond.shape[1]
-    wb = jnp.zeros(u.shape, jnp.float32)
-    wa = jnp.zeros(u.shape, jnp.float32)
-    flipped = substate ^ incl
-    for d in range(D):
-        e = tables.neigh_bond[u, d]
-        ov = tables.neigh_var[u, d]
-        ok = e >= 0
-        e_s = jnp.maximum(e, 0)
-        ov_s = jnp.maximum(ov, 0)
-        bdry = incl[rows, u] ^ incl[rows, ov_s]
-        m = (ok & bdry).astype(jnp.float32)
-        wb = wb + m * _edge_weight(
-            model, e_s, substate[rows, u], substate[rows, ov_s]
-        )
-        wa = wa + m * _edge_weight(
-            model, e_s, flipped[rows, u], flipped[rows, ov_s]
-        )
-    return wb, wa
-
-
-def _initial_totals(model, tables, substate, incl):
-    """Direct O(NE) boundary-weight totals (before, after): f32[R]."""
-    ne = tables.nedges
-    va = model.bond_vars[:ne, 0]  # [NE]
-    vb = model.bond_vars[:ne, 1]
-    bdry = incl[:, va] ^ incl[:, vb]  # [R, NE]
-    flipped = substate ^ incl
-    e_ids = jnp.arange(ne, dtype=jnp.int32)[None, :]
-    wb = _edge_weight(model, e_ids, substate[:, va], substate[:, vb])
-    wa = _edge_weight(model, e_ids, flipped[:, va], flipped[:, vb])
-    m = bdry.astype(jnp.float32)
-    return jnp.sum(m * wb, axis=1), jnp.sum(m * wa, axis=1), (va, vb)
-
-
 def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
     """``calculate_flip_prob`` (``rvb.rs:649-946``) as a dense scan.
+
+    The reference carries incrementally-updated boundary-weight totals
+    through a heap sweep; here each slot recomputes the totals directly from
+    the carried ``(substate, incl)`` as an O(NE) vectorized reduction over
+    the static edge list — identical values (the totals are pure functions
+    of the carried state) with a far smaller per-step op graph than
+    per-event incremental maintenance.
 
     Returns ``p_accept: f32[R]``.
     """
@@ -356,12 +328,14 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
     K = ops.max_legs
     rows = jnp.arange(R)
     ne = tables.nedges
+    va_e = model.bond_vars[:ne, 0]  # [NE] static
+    vb_e = model.bond_vars[:ne, 1]
+    e_ids = jnp.arange(ne, dtype=jnp.int32)[None, :]
 
-    wb0, wa0, _ = _initial_totals(model, tables, state, in0)
     logm0 = jnp.zeros((R,), jnp.float32)
 
     def step(carry, xs):
-        substate, incl, wb_tot, wa_tot, logm = carry
+        substate, incl, logm = carry
         bond_p, in_p, out_p, tog_p = xs  # [R], [K,R], [K,R], [R]
         occ = bond_p >= 0
         b = jnp.maximum(bond_p, 0)
@@ -376,8 +350,20 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
         is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
 
         # Boundary diagonal lattice ops: weight-ratio factor (rvb.rs:845-852
-        # accumulated, committed at rvb.rs:886-893; totals are constant
-        # between change events so per-op multiplication is identical).
+        # accumulated, committed at rvb.rs:886-893), with totals evaluated in
+        # the pre-event state of this slot.
+        bdry_e = (incl[:, va_e] ^ incl[:, vb_e]).astype(jnp.float32)  # [R,NE]
+        wb_tot = jnp.sum(
+            bdry_e
+            * _edge_weight(model, e_ids, substate[:, va_e], substate[:, vb_e]),
+            axis=1,
+        )
+        flipped = substate ^ incl
+        wa_tot = jnp.sum(
+            bdry_e
+            * _edge_weight(model, e_ids, flipped[:, va_e], flipped[:, vb_e]),
+            axis=1,
+        )
         logm = logm + jnp.where(
             is_boundary_op,
             jnp.log(jnp.maximum(wa_tot, _TINY))
@@ -410,7 +396,7 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
         )
 
         # Events: cluster-bound toggle (constant op) and/or off-diagonal spin
-        # flip. Per-leg sequential updates keep the incremental totals exact.
+        # flip.
         is_cb = tog_p & occ
         will_flip = occ & ~is_diag_p
         for l in range(K):
@@ -418,9 +404,6 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
             ev_tog = is_cb & (l == 0)
             ev_flip = will_flip & leg_ok[l]
             ev = ev_tog | ev_flip
-            old_b, old_a = _boundary_contrib(
-                model, tables, substate, incl, u_var, rows
-            )
             new_in_u = jnp.where(ev_tog, ~incl[rows, u_var], incl[rows, u_var])
             incl = incl.at[rows, u_var].set(
                 jnp.where(ev, new_in_u, incl[rows, u_var])
@@ -429,14 +412,8 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
                 ev_flip, out_p[l], substate[rows, u_var]
             )
             substate = substate.at[rows, u_var].set(new_s_u)
-            new_b, new_a = _boundary_contrib(
-                model, tables, substate, incl, u_var, rows
-            )
-            dm = ev.astype(jnp.float32)
-            wb_tot = wb_tot + dm * (new_b - old_b)
-            wa_tot = wa_tot + dm * (new_a - old_a)
 
-        return (substate, incl, wb_tot, wa_tot, logm), None
+        return (substate, incl, logm), None
 
     xs = (
         ops.bond,
@@ -444,8 +421,8 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
         jnp.moveaxis(ops.outputs, 1, 0),
         is_toggle,
     )
-    (_, _, _, _, logm), _ = jax.lax.scan(
-        step, (state, in0, wb0, wa0, logm0), xs, unroll=2
+    (_, _, logm), _ = jax.lax.scan(
+        step, (state, in0, logm0), xs, unroll=2
     )
     return jnp.minimum(jnp.exp(logm), 1.0)
 
@@ -468,12 +445,13 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
         w = _edge_weight(model, e_ids, substate[:, va_e], substate[:, vb_e])
         return jnp.where(bdry, w, 0.0)  # [R, NE]
 
-    wvec0 = wvec_of(substate0, in0)
+    # Rotation noise pre-drawn for all slots (counter-based RNG; avoids a
+    # key split + generator call inside every scan step).
+    gumbels = jax.random.gumbel(key, (M, R, ne))
 
     def step(carry, xs):
-        substate, incl, wvec, key = carry
-        bond_p, in_p, out_p, tog_p = xs
-        key, k_rot = jax.random.split(key)
+        substate, incl = carry
+        bond_p, in_p, out_p, tog_p, g = xs
         occ = bond_p >= 0
         b = jnp.maximum(bond_p, 0)
         vars_p = jnp.moveaxis(model.bond_vars[b], -1, 0)  # [K, R]
@@ -490,8 +468,9 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
         completely_in = jnp.all(in_leg, axis=0) & occ & (arity > 0)
 
         # --- boundary-bond rotation (rvb.rs:413-434): sample new bond by
-        # weight via Gumbel-argmax over the boundary-weight vector.
-        g = jax.random.gumbel(k_rot, (R, ne))
+        # weight via Gumbel-argmax over the boundary-weight vector, which is
+        # recomputed from the carried state (see _acceptance_scan note).
+        wvec = wvec_of(substate, incl)
         score = jnp.where(
             wvec > 0, jnp.log(jnp.maximum(wvec, _TINY)) + g, -jnp.inf
         )
@@ -528,8 +507,8 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
         new_in = jnp.where(do_flip_sym[None] & leg_ok, ~new_in, new_in)
         new_out = jnp.where(do_flip_sym[None] & leg_ok, ~new_out, new_out)
 
-        # --- state / cluster / weight-vector maintenance ------------------
-        # Toggle cluster membership at cluster bounds.
+        # --- state / cluster maintenance (boundary weights are recomputed
+        # from this carry at the next slot) ---------------------------------
         will_offdiag = jnp.any(new_in != new_out, axis=0) & occ
         for l in range(K):
             u_var = jnp.maximum(vars_p[l], 0)
@@ -546,33 +525,18 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
             substate = substate.at[rows, u_var].set(
                 jnp.where(ev, out_l, substate[rows, u_var])
             )
-            # refresh boundary weights of bonds adjacent to the event var
-            D = tables.neigh_bond.shape[1]
-            for d in range(D):
-                e = tables.neigh_bond[u_var, d]
-                ov = tables.neigh_var[u_var, d]
-                ok = (e >= 0) & ev
-                e_s = jnp.maximum(e, 0)
-                ov_s = jnp.maximum(ov, 0)
-                bdry_e = incl[rows, u_var] ^ incl[rows, ov_s]
-                w_e = _edge_weight(
-                    model, e_s, substate[rows, u_var], substate[rows, ov_s]
-                )
-                val = jnp.where(bdry_e, w_e, 0.0)
-                wvec = wvec.at[rows, e_s].set(
-                    jnp.where(ok, val, wvec[rows, e_s])
-                )
 
-        return (substate, incl, wvec, key), (new_bond, new_in, new_out)
+        return (substate, incl), (new_bond, new_in, new_out)
 
     xs = (
         ops.bond,
         jnp.moveaxis(ops.inputs, 1, 0),
         jnp.moveaxis(ops.outputs, 1, 0),
         is_toggle,
+        gumbels,
     )
-    (_, _, _, _), (nb, ni, no) = jax.lax.scan(
-        step, (substate0, in0, wvec0, key), xs, unroll=2
+    (_, _), (nb, ni, no) = jax.lax.scan(
+        step, (substate0, in0), xs, unroll=2
     )
     ni = jnp.moveaxis(ni, 0, 1)  # [K, M, R]
     no = jnp.moveaxis(no, 0, 1)

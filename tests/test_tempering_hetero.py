@@ -59,6 +59,81 @@ class TestHeteroContainer:
         got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
         np.testing.assert_allclose(got, [0.6, 0.9, 1.2, 1.5], rtol=1e-6)
 
+    def test_heatbath_hetero_ladder(self):
+        """Heat-bath diagonal updates with per-replica bond-weight tables
+        (the reference's per-graph ``BondWeights`` under distinct
+        Hamiltonians, ``heatbath.rs:10-61`` + ``tempering_traits.rs``)."""
+        edges = lattice.chain(6, j=1.0)
+        tc = TemperingContainer(
+            edges,
+            transverse=1.0,
+            betas=[1.0, 1.0, 1.0],
+            transverse_scales=[0.7, 1.0, 1.4],
+            seed=11,
+        )
+        tc.set_enable_heatbath(True)
+        tc.timesteps(8)
+        total = 0
+        for _ in range(5):
+            tc.timesteps(3)
+            total += tc.tempering_step()
+        assert tc.verify()
+        got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
+        np.testing.assert_allclose(got, [0.7, 1.0, 1.4], rtol=1e-6)
+
+    def test_heatbath_hetero_matches_ed(self):
+        """Per-replica heat-bath tables must sample each replica's own
+        Hamiltonian: check <E> per rung against exact diagonalization with
+        swaps disabled."""
+        L, beta = 4, 1.5
+        edges = lattice.chain(L, j=1.0)
+        scales = [0.5, 1.5]
+        tc = TemperingContainer(
+            edges,
+            transverse=1.0,
+            betas=[beta, beta],
+            replicas_per_beta=24,
+            transverse_scales=scales,
+            seed=21,
+        )
+        tc.set_enable_heatbath(True)
+        tc.timesteps(60)
+
+        # measure energies per replica over sweeps
+        from isingmontecarlo_tpu.sse import opstring as _ops
+
+        # Per-replica energy offset sum|J| + N * G * scale (qmc_ising.rs:97-99
+        # with the replica's own transverse field).
+        scale_per_rep = np.asarray(tc.scales[:, 1], np.float64)
+        sum_j = sum(abs(j) for _, j in edges)
+        offset_r = sum_j + L * 1.0 * scale_per_rep
+
+        es = []
+        for _ in range(80):
+            tc.timesteps(1)
+            n = np.asarray(_ops.op_count(tc.graph.sse.ops), np.float64)
+            es.append(-n / beta + offset_r)
+        e = np.mean(es, axis=0)  # [R]
+
+        def ed_energy(g):
+            H = np.zeros((2**L, 2**L))
+            for s in range(2**L):
+                for (a, b), j in edges:
+                    za = 1 - 2 * ((s >> a) & 1)
+                    zb = 1 - 2 * ((s >> b) & 1)
+                    H[s, s] += j * za * zb
+                for i in range(L):
+                    H[s ^ (1 << i), s] += -g
+            w = np.linalg.eigvalsh(H)
+            z = np.exp(-beta * (w - w[0]))
+            return float((w * z).sum() / z.sum())
+
+        for g in scales:
+            sel = np.isclose(scale_per_rep, g)
+            got = float(np.mean(e[sel]))
+            want = ed_energy(g)
+            assert abs(got - want) < 0.25, (g, got, want)
+
     def test_homogeneous_path_unchanged(self):
         edges = lattice.chain(4, j=1.0)
         tc = TemperingContainer(edges, 1.0, betas=[0.5, 1.0, 2.0], seed=3)
