@@ -72,7 +72,158 @@ def _substate_idx(bits):
     return jnp.sum(bits.astype(jnp.int32) * w, axis=0)
 
 
+# Element-count gate for the precomputed-weights fast path: it materializes
+# an [M, R, N] flip-parity tensor (i8 on TPU), so cap its footprint.
+_PAR_MAX_ELEMS = 1 << 29
+
+
+def _parallel_weights(ops, state, u1, model, hb, heatbath):
+    """Everything the diagonal sweep needs per slot, computed upfront.
+
+    Key fact: a diagonal sweep only inserts/removes *diagonal* ops, which do
+    not change worldline propagation — the propagated state at every slot is
+    fixed by the (immutable) off-diagonal ops. So the proposal bonds (drawn
+    unconditionally from pre-generated uniforms, exactly as the sequential
+    scan does) and their matrix elements can be evaluated for all slots in
+    parallel: spin of var v just below slot p = state[v] XOR (parity of
+    off-diagonal flips on v's worldline before p), an exclusive segmented
+    XOR-scan along imaginary time. Returns ``(b_new, bits_new, w_new)``.
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    N = model.nvars
+    NB = model.nbonds
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    # --- proposal bonds for every slot (same draw as the sequential path) --
+    if heatbath:
+        if hb.cum_max_w.ndim == 2:  # [R, NB]
+            tgt = u1 * hb.total[None, :]  # [M, R]
+            b_new = jax.vmap(
+                lambda c, q: jnp.searchsorted(c, q), in_axes=(0, 1), out_axes=1
+            )(hb.cum_max_w, tgt).astype(jnp.int32)
+        else:
+            b_new = jnp.searchsorted(hb.cum_max_w, u1 * hb.total).astype(
+                jnp.int32
+            )
+        b_new = jnp.minimum(b_new, NB - 1)
+    else:
+        b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
+
+    # --- flip-parity tensor [M, R, N] ---------------------------------------
+    vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]  # [M, R, K]
+    leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
+    tog = jnp.moveaxis(ops.inputs != ops.outputs, 0, -1) & leg_ok  # [M, R, K]
+    p_idx = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[:, None, None], (M, R, K)
+    )
+    r_idx = jnp.broadcast_to(rows[None, :, None], (M, R, K))
+    v_idx = jnp.where(leg_ok, vars_all, N)
+    flips = jnp.zeros((M, R, N), bool).at[p_idx, r_idx, v_idx].max(
+        tog, mode="drop"
+    )
+    inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
+    par_excl = jnp.concatenate(
+        [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
+    )
+
+    # --- proposal spin bits and weights -------------------------------------
+    vq = model.bond_vars[b_new]  # [M, R, K]
+    q_ok = vq >= 0
+    vq_s = jnp.where(q_ok, vq, 0)
+    pb = jnp.take_along_axis(par_excl, vq_s, axis=2)  # [M, R, K]
+    sb = state[r_idx, vq_s]
+    bits_new = (sb ^ pb) & q_ok  # [M, R, K]
+    weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
+    si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
+    w_new = model.diag_w[b_new, si_new]
+    return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
+
+
 @functools.partial(jax.jit, static_argnames=("heatbath", "unroll"))
+def _diagonal_update_fast(
+    ops: OpString,
+    state: jax.Array,
+    beta: jax.Array,
+    key: jax.Array,
+    model: BondModel,
+    hb: HeatBathTables | None = None,
+    heatbath: bool = False,
+    bond_scale: jax.Array | None = None,
+    unroll: int = 8,
+) -> OpString:
+    """Precomputed-weights diagonal sweep: identical Markov chain to
+    :func:`diagonal_update` (same uniforms, same acceptance arithmetic), but
+    the sequential scan carries only the op count ``n`` — every per-slot
+    quantity is a precomputed ``[M, R]`` tensor (see
+    :func:`_parallel_weights`), so the per-step body is a handful of
+    ``[R]``-vector ops instead of state-array gathers/scatters."""
+    M, R = ops.bond.shape
+    NB = model.nbonds
+    beta = jnp.asarray(beta, jnp.float32)
+    if beta.ndim == 0:
+        beta = jnp.broadcast_to(beta, (R,))
+    rows = jnp.arange(R)
+
+    u = jax.random.uniform(key, (3, M, R))
+    n0 = op_count(ops)
+    b_new, bits_new, w_new = _parallel_weights(
+        ops, state, u[1], model, hb, heatbath
+    )
+
+    is_ident = ops.bond < 0
+    is_diag = jnp.all(ops.inputs == ops.outputs, axis=0) & ~is_ident
+    b_safe = jnp.maximum(ops.bond, 0)
+    si_cur = jnp.sum(
+        ops.inputs.astype(jnp.int32)
+        * (1 << jnp.arange(ops.max_legs, dtype=jnp.int32))[:, None, None],
+        axis=0,
+    )
+    w_cur = model.diag_w[b_safe, si_cur]
+    if bond_scale is not None:
+        w_new = w_new * bond_scale[rows[None, :], b_new]
+        w_cur = w_cur * bond_scale[rows[None, :], b_safe]
+
+    if heatbath:
+        bw_tot = beta * hb.total  # [R]
+        maxw = model.max_diag_w()[b_new]
+        if bond_scale is not None:
+            maxw = maxw * bond_scale[rows[None, :], b_new]
+        ins_w = u[2] * maxw < w_new  # [M, R], n-independent part
+    else:
+        num_ins = beta[None, :] * NB * w_new  # [M, R]
+        num_rem = beta[None, :] * NB * w_cur
+
+    def step(n, xs):
+        if heatbath:
+            u0, idp, dgp, insw = xs
+            mmn = (M - n).astype(jnp.float32)
+            ins_try = u0 * (mmn + bw_tot) < bw_tot
+            insert = idp & ins_try & insw
+            remove = dgp & (u0 * (mmn + 1.0 + bw_tot) < (mmn + 1.0))
+        else:
+            u0, idp, dgp, ni, nr = xs
+            mmn = (M - n).astype(jnp.float32)
+            insert = idp & (u0 * mmn < ni)
+            remove = dgp & (u0 * nr < (mmn + 1.0))
+        n = n + insert.astype(jnp.int32) - remove.astype(jnp.int32)
+        return n, (insert, remove)
+
+    if heatbath:
+        xs = (u[0], is_ident, is_diag, ins_w)
+    else:
+        xs = (u[0], is_ident, is_diag, num_ins, num_rem)
+    _, (insert, remove) = jax.lax.scan(step, n0, xs, unroll=unroll)
+
+    new_bond = jnp.where(insert, b_new, jnp.where(remove, -1, ops.bond))
+    keep_in = jnp.where(insert[None], bits_new, ops.inputs)
+    keep_in = jnp.where(remove[None], False, keep_in)
+    changed = new_bond != ops.bond
+    new_out = jnp.where(changed[None], keep_in, ops.outputs)
+    new_in_full = jnp.where(changed[None], keep_in, ops.inputs)
+    return OpString(bond=new_bond, inputs=new_in_full, outputs=new_out)
+
+
 def diagonal_update(
     ops: OpString,
     state: jax.Array,  # bool[R, N]
@@ -84,7 +235,34 @@ def diagonal_update(
     bond_scale: jax.Array | None = None,  # f32[R, NB]
     unroll: int = 4,
 ) -> OpString:
-    """One full diagonal sweep. Returns the updated op string.
+    """One full diagonal sweep (dispatcher). Uses the precomputed-weights
+    fast path when its [M, R, N] parity tensor fits the element cap, else
+    the sequential full scan; both run the identical Markov chain."""
+    M, R = ops.bond.shape
+    if M * R * model.nvars <= _PAR_MAX_ELEMS:
+        return _diagonal_update_fast(
+            ops, state, beta, key, model, hb=hb, heatbath=heatbath,
+            bond_scale=bond_scale,
+        )
+    return _diagonal_update_scan(
+        ops, state, beta, key, model, hb=hb, heatbath=heatbath,
+        bond_scale=bond_scale, unroll=unroll,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("heatbath", "unroll"))
+def _diagonal_update_scan(
+    ops: OpString,
+    state: jax.Array,  # bool[R, N]
+    beta: jax.Array,  # f32[] or f32[R]
+    key: jax.Array,
+    model: BondModel,
+    hb: HeatBathTables | None = None,
+    heatbath: bool = False,
+    bond_scale: jax.Array | None = None,  # f32[R, NB]
+    unroll: int = 4,
+) -> OpString:
+    """One full diagonal sweep as a sequential scan carrying ``(state, n)``.
 
     The p=0 state is unchanged by construction (only diagonal ops are inserted
     or removed; the reference likewise sweeps a copy of the state,

@@ -1,0 +1,57 @@
+"""Equivalence oracle for the precomputed-weights diagonal sweep.
+
+The fast path (``_diagonal_update_fast``) must run the *identical* Markov
+chain as the sequential scan (``_diagonal_update_scan``): a diagonal sweep
+never changes worldline propagation (it only inserts/removes diagonal ops,
+``diagonal.rs:141-191``), so per-slot proposal weights evaluated upfront
+from flip parities must reproduce the scan's carried state exactly — same
+uniforms, same acceptance arithmetic, bit-identical output strings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu.sse import diagonal as _diag
+from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,heatbath,scaled",
+    [
+        (3, 1.0, 0.0, 1.0, False, False),
+        (3, 0.7, 0.4, 1.5, False, False),
+        (4, 1.2, 0.0, 0.8, True, False),
+        (3, 1.0, 0.3, 1.0, True, False),
+        (3, 1.0, 0.0, 1.0, False, True),
+        (3, 1.0, 0.2, 1.0, True, True),
+    ],
+)
+def test_fast_path_matches_scan(L, G, h, beta, heatbath, scaled):
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(edges, transverse=G, longitudinal=h, replicas=8, seed=3)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    bs = (
+        jax.random.uniform(
+            jax.random.key(L), (8, model.nbonds), minval=0.5, maxval=1.5
+        )
+        if scaled
+        else None
+    )
+    hbt = _diag.make_heatbath_tables(model, bs) if heatbath else None
+    key = jax.random.key(42)
+    a = _diag._diagonal_update_scan(
+        ops, state, jnp.float32(beta), key, model,
+        hb=hbt, heatbath=heatbath, bond_scale=bs,
+    )
+    b = _diag._diagonal_update_fast(
+        ops, state, jnp.float32(beta), key, model,
+        hb=hbt, heatbath=heatbath, bond_scale=bs,
+    )
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))

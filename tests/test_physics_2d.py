@@ -78,6 +78,20 @@ class Test2DEnergy:
         assert mean == pytest.approx(exact, abs=max(5 * sem, 0.3)), (mean, exact)
 
 
+class Test4x3Energy:
+    def test_4x3_periodic(self):
+        """12-spin (4096-dim) dense-ED oracle: non-square periodic lattice,
+        so the two wrap directions have different lengths — exercises the
+        segment-contracted cluster labeling beyond the 3x3 cases."""
+        edges = lattice.square(4, 3, j=-1.0)
+        beta, gamma = 0.9, 1.1
+        exact = exact_tfim_energy(edges, gamma, 0.0, beta, 12)
+        g = QmcIsingGraph(edges, gamma, cutoff=160, replicas=128, seed=8)
+        mean, sem = run_energy(g, beta, warm=50, steps=200, chunk=50)
+        assert g.verify()
+        assert mean == pytest.approx(exact, abs=max(5 * sem, 0.3)), (mean, exact)
+
+
 class Test2DMagnetization:
     def test_3x3_msq_matches_ed(self):
         edges = lattice.square(3, 3, j=-1.0)
