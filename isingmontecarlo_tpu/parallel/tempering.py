@@ -194,21 +194,30 @@ class TemperingContainer:
 
     # -- mirrors tempering_container.rs:77-81 ------------------------------
     def timesteps(self, t: int, chunk: int = 16) -> None:
-        """Advance every replica ``t`` sweeps at its own temperature."""
+        """Advance every replica ``t`` sweeps at its own temperature.
+
+        Starts in a per-step growth phase (see
+        ``QmcIsingGraph.timesteps_measure``): a cold cutoff left truncated
+        for a whole chunk biases the ensemble toward low op counts."""
         done = 0
+        g = self.graph
+        stable = 2 if not g._growth_pending else 0
         while done < t:
-            todo = min(chunk, t - done)
-            self.graph.sse, _, _, _ = multi_sweep(
-                self.graph.sse,
+            todo = 1 if stable < 2 else min(chunk, t - done)
+            g.sse, _, _, _ = multi_sweep(
+                g.sse,
                 self.betas,
-                self.graph.model,
+                g.model,
                 todo,
                 hb=self._hb,
                 heatbath=self._heatbath,
                 bond_scale=self._bond_scale(),
             )
             done += todo
-            self.graph._maybe_grow()
+            before = g.cutoff
+            g._maybe_grow()
+            stable = 0 if g.cutoff != before else stable + 1
+        g._growth_pending = stable < 2
 
     # -- mirrors tempering_container.rs:121-163 ----------------------------
     def tempering_step(self) -> int:

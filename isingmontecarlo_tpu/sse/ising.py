@@ -171,6 +171,9 @@ class QmcIsingGraph:
         self._rvb_updates: int | None = None
         self.total_rvb_successes = 0
         self.rvb_clusters_counted = 0
+        # Cold start: the cutoff has not yet tracked n + n/2 — stepping
+        # drivers begin in the per-step growth phase (see timesteps_measure).
+        self._growth_pending = True
         key = jax.random.key(seed)
         key, k_state = jax.random.split(key)
         if state is None:
@@ -261,6 +264,14 @@ class QmcIsingGraph:
         g = self.transverse
         for v in range(self.nvars):
             q.make_interaction([[g, g], [g, g]], [v])
+        # The all-Γ constant matrix represents Γ(σˣ + 1): it must stay
+        # constant (cluster edges), so the +Γ per site enters the energy
+        # offset here. (The reference's IntoQmc drops this shift —
+        # qmc_ising.rs:958-963 uses make_interaction — and its conversion
+        # test only compares states, qmc_runner energies come out shifted
+        # by −nΓ; we keep the physical energy.)
+        q.offset += self.nvars * g
+        q._model = None
         if abs(self.longitudinal) > 1e-12:
             # Weights must reproduce longitudinal_hamiltonian
             # (qmc_ising.rs:880-888): up -> |h|+h, down -> |h|-h. (The
@@ -620,8 +631,15 @@ class QmcIsingGraph:
         total_n = jnp.zeros((self.replicas,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         steps_measured = 0
         done = 0
+        stable = 2 if not self._growth_pending else 0
         while done < timesteps:
-            todo = min(chunk, timesteps - done)
+            # Growth phase: the reference grows the cutoff after EVERY
+            # timestep (``qmc_ising.rs:786``); fused chunks only check
+            # between dispatches, which from a cold (small) cutoff leaves the
+            # op string truncated for whole chunks and biases the energy
+            # estimator high. Run single timesteps until two consecutive
+            # steps stop growing, then switch to fused chunks.
+            todo = 1 if stable < 2 else min(chunk, timesteps - done)
             collect = any((done + i + 1) % freq == 0 for i in range(todo))
             self.sse, ns, states, succ = multi_sweep(
                 self.sse,
@@ -642,6 +660,9 @@ class QmcIsingGraph:
                     total_n = total_n + ns[i]
                     steps_measured += 1
             done += todo
+            before = self.cutoff
             self._maybe_grow()
+            stable = 0 if self.cutoff != before else stable + 1
+        self._growth_pending = stable < 2
         average_n = total_n / max(steps_measured, 1)
         return acc, self.get_energy_for_average_n(average_n, beta)

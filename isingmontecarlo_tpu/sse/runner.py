@@ -93,6 +93,7 @@ class Qmc:
         self.offset = 0.0
         self.has_cluster_edges = False
         self.breaks_ising_symmetry = False
+        self._growth_pending = True  # see QmcIsingGraph.timesteps_measure
         self._model: BondModel | None = None
         self._hb: _diag.HeatBathTables | None = None
         key = jax.random.key(seed)
@@ -228,14 +229,23 @@ class Qmc:
 
     def timesteps(self, t: int, beta: float, chunk: int = 16) -> jax.Array:
         """Average energy per replica over ``t`` steps (``qmc_stepper.rs:17``),
-        running ``chunk`` fused timesteps per dispatch."""
+        running ``chunk`` fused timesteps per dispatch.
+
+        Starts in a per-step growth phase (the reference grows the cutoff
+        after every timestep, ``qmc_ising.rs:786``) and switches to fused
+        chunks once two consecutive steps stop growing — a cold cutoff left
+        truncated for a whole chunk biases the energy estimator."""
         total_n = jnp.zeros((self.replicas,), jnp.float32)
         done = 0
+        stable = 2 if not self._growth_pending else 0
         while done < t:
-            todo = min(chunk, t - done)
+            todo = 1 if stable < 2 else min(chunk, t - done)
+            before = self._ensure_sse().ops.cutoff
             ns = self._multi_timestep(beta, todo)
+            stable = 0 if self._ensure_sse().ops.cutoff != before else stable + 1
             total_n = total_n + jnp.sum(ns.astype(jnp.float32), axis=0)
             done += todo
+        self._growth_pending = stable < 2
         avg_n = total_n / t
         return -(avg_n / beta) + self.model.offset
 

@@ -550,14 +550,201 @@ def _mutation_scan(ops, state, model, tables, in0, is_toggle, accept, key):
     return new_ops, new_state
 
 
+def _fused_scan(ops, state, model, tables, in0, is_toggle, key):
+    """Acceptance + candidate mutation in ONE dense scan.
+
+    The two scans of the legacy path (:func:`_acceptance_scan` then
+    :func:`_mutation_scan`) run the same imaginary-time sweep with carries
+    related by an invariant: the mutation carry is the acceptance carry with
+    the cluster flipped, ``substate_mut == substate ^ incl`` (and
+    ``incl_mut == incl`` — both toggle exactly at the cluster-bounding
+    constant ops). The rotation weight vector is then exactly the
+    acceptance's *after* vector. So one scan carrying ``(substate, incl,
+    logm)`` can accumulate the acceptance probability AND emit the
+    assume-accepted candidate rewrite; the accept/reject draw selects whole
+    arrays per replica afterwards (rejected replicas keep their originals,
+    as in ``rvb.rs:294-615`` where ``mutate_graph`` only runs on accept).
+    Bit-identical to the legacy two-scan path, one pass over M instead of
+    two, shared weight reductions.
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    rows = jnp.arange(R)
+    ne = tables.nedges
+    va_e = model.bond_vars[:ne, 0]  # [NE] static
+    vb_e = model.bond_vars[:ne, 1]
+    e_ids = jnp.arange(ne, dtype=jnp.int32)[None, :]
+
+    gumbels = jax.random.gumbel(key, (M, R, ne))
+
+    def step(carry, xs):
+        substate, incl, logm = carry
+        bond_p, in_p, out_p, tog_p, g = xs  # [R], [K,R], [K,R], [R], [R,NE]
+        occ = bond_p >= 0
+        b = jnp.maximum(bond_p, 0)
+        vars_p = jnp.moveaxis(model.bond_vars[b], -1, 0)  # [K, R]
+        leg_ok = (vars_p >= 0) & occ[None]
+        arity = jnp.sum(leg_ok, axis=0)
+        is_diag_p = jnp.all(in_p == out_p, axis=0)
+
+        va = jnp.maximum(vars_p[0], 0)
+        vb = jnp.maximum(vars_p[1] if K > 1 else vars_p[0], 0)
+        bdry = incl[rows, va] ^ incl[rows, vb]
+        is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
+        is_cb = tog_p & occ
+        in_leg = incl[rows[None, :], jnp.maximum(vars_p, 0)] | ~leg_ok
+        completely_in = jnp.all(in_leg, axis=0) & occ & (arity > 0)
+
+        # --- shared boundary-weight vectors (pre-event carry) --------------
+        bdry_e = incl[:, va_e] ^ incl[:, vb_e]  # [R, NE]
+        flipped = substate ^ incl
+        w_bef = jnp.where(
+            bdry_e,
+            _edge_weight(model, e_ids, substate[:, va_e], substate[:, vb_e]),
+            0.0,
+        )
+        w_aft = jnp.where(
+            bdry_e,
+            _edge_weight(model, e_ids, flipped[:, va_e], flipped[:, vb_e]),
+            0.0,
+        )
+        wb_tot = jnp.sum(w_bef, axis=1)
+        wa_tot = jnp.sum(w_aft, axis=1)
+
+        # --- acceptance accumulation (rvb.rs:845-852, :873-879) ------------
+        logm = logm + jnp.where(
+            is_boundary_op,
+            jnp.log(jnp.maximum(wa_tot, _TINY))
+            - jnp.log(jnp.maximum(wb_tot, _TINY)),
+            0.0,
+        )
+        legmask = jnp.where(
+            jnp.arange(K, dtype=jnp.int32)[:, None] < arity[None, :], 1, 0
+        )
+        mask_bits = substate_index(legmask.astype(bool))
+        si = substate_index(in_p)
+        so = substate_index(out_p)
+        if model.full_w is not None:
+            w_cur = model.full_w[b, si, so]
+            w_flip = model.full_w[b, si ^ mask_bits, so ^ mask_bits]
+        else:
+            w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
+            w_flip = jnp.where(si == so, model.diag_w[b, si ^ mask_bits], 0.0)
+        ratio_ok = completely_in & ~is_boundary_op
+        logm = logm + jnp.where(
+            ratio_ok,
+            jnp.log(jnp.maximum(w_flip, _TINY))
+            - jnp.log(jnp.maximum(w_cur, _TINY)),
+            0.0,
+        )
+
+        # --- candidate mutation (assume accepted; rvb.rs:294-615) ----------
+        score = jnp.where(
+            w_aft > 0, jnp.log(jnp.maximum(w_aft, _TINY)) + g, -jnp.inf
+        )
+        b_new = jnp.argmax(score, axis=1).astype(jnp.int32)
+        rot_vars = jnp.stack([va_e[b_new], vb_e[b_new]])  # [2, R]
+        rot_bits = jnp.stack(
+            [flipped[rows, rot_vars[0]], flipped[rows, rot_vars[1]]]
+        )
+
+        do_rot = is_boundary_op
+        new_bond = jnp.where(do_rot, b_new, bond_p)
+        new_in = in_p
+        new_out = out_p
+        if K == 2:
+            new_in = jnp.where(do_rot[None], rot_bits, new_in)
+            new_out = jnp.where(do_rot[None], rot_bits, new_out)
+        else:
+            pad = jnp.zeros((K - 2, R), bool)
+            rb = jnp.concatenate([rot_bits, pad], axis=0)
+            new_in = jnp.where(do_rot[None], rb, new_in)
+            new_out = jnp.where(do_rot[None], rb, new_out)
+
+        c_pre = incl[rows, va]
+        do_cb = is_cb & ~do_rot
+        cb_in = in_p[0] ^ c_pre
+        cb_out = out_p[0] ^ (~c_pre)
+        new_in = new_in.at[0].set(jnp.where(do_cb, cb_in, new_in[0]))
+        new_out = new_out.at[0].set(jnp.where(do_cb, cb_out, new_out[0]))
+
+        do_flip_sym = completely_in & ~do_rot & ~do_cb
+        new_in = jnp.where(do_flip_sym[None] & leg_ok, ~new_in, new_in)
+        new_out = jnp.where(do_flip_sym[None] & leg_ok, ~new_out, new_out)
+
+        # --- carry updates (acceptance semantics; the mutation carry is
+        # derived via the invariant, never materialized) ---------------------
+        will_flip = occ & ~is_diag_p
+        for l in range(K):
+            u_var = jnp.maximum(vars_p[l], 0)
+            ev_tog = is_cb & (l == 0)
+            incl = incl.at[rows, u_var].set(
+                jnp.where(ev_tog, ~incl[rows, u_var], incl[rows, u_var])
+            )
+            ev_flip = will_flip & leg_ok[l]
+            substate = substate.at[rows, u_var].set(
+                jnp.where(ev_flip, out_p[l], substate[rows, u_var])
+            )
+
+        return (substate, incl, logm), (new_bond, new_in, new_out)
+
+    xs = (
+        ops.bond,
+        jnp.moveaxis(ops.inputs, 1, 0),
+        jnp.moveaxis(ops.outputs, 1, 0),
+        is_toggle,
+        gumbels,
+    )
+    (_, _, logm), (nb, ni, no) = jax.lax.scan(
+        step, (state, in0, jnp.zeros((R,), jnp.float32)), xs, unroll=2
+    )
+    p_acc = jnp.minimum(jnp.exp(logm), 1.0)
+    ni = jnp.moveaxis(ni, 0, 1)  # [K, M, R]
+    no = jnp.moveaxis(no, 0, 1)
+    return p_acc, nb, ni, no
+
+
 def rvb_update_once(
     ops: OpString,
     state: jax.Array,
     key: jax.Array,
     model: BondModel,
     tables: RvbTables,
+    inventory=None,
 ) -> tuple[OpString, jax.Array, jax.Array]:
-    """One RVB update per replica. Returns ``(ops, state, accepted bool[R])``."""
+    """One RVB update per replica. Returns ``(ops, state, accepted bool[R])``.
+
+    ``inventory`` optionally passes a precomputed :func:`_const_inventory`
+    (valid across a whole sweep: RVB only *rewrites* ops — rotations move
+    lattice bonds, cluster bounds toggle constant ops off-diagonal — so the
+    constant-op positions never change, mirroring how ``find_constants`` in
+    ``rvb.rs:1160-1187`` would return the same index every call within
+    ``rvb_update``'s loop)."""
+    k_build, k_acc, k_mut = jax.random.split(key, 3)
+    if inventory is None:
+        inventory = _const_inventory(ops, model)
+    cvar, cpos, cnext, valid, ncount, has_const = inventory
+    popped = _build_cluster(
+        k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
+    )
+    in0, is_toggle = _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid)
+    p_acc, nb, ni, no = _fused_scan(
+        ops, state, model, tables, in0, is_toggle, k_mut
+    )
+    accept = jax.random.uniform(k_acc, p_acc.shape) < p_acc
+    acc_m = accept[None, :]
+    new_ops = OpString(
+        bond=jnp.where(acc_m, nb, ops.bond),
+        inputs=jnp.where(acc_m[None], ni, ops.inputs),
+        outputs=jnp.where(acc_m[None], no, ops.outputs),
+    )
+    new_state = state ^ (in0 & accept[:, None])
+    return new_ops, new_state, accept
+
+
+def _rvb_update_once_legacy(ops, state, key, model, tables):
+    """Two-scan path kept as the equivalence oracle for :func:`_fused_scan`
+    (same key structure and draws — outputs must be bit-identical)."""
     k_build, k_acc, k_mut = jax.random.split(key, 3)
     cvar, cpos, cnext, valid, ncount, has_const = _const_inventory(ops, model)
     popped = _build_cluster(
@@ -583,11 +770,19 @@ def rvb_sweep(
 ) -> tuple[OpString, jax.Array, jax.Array]:
     """``n_updates`` sequential RVB updates (the reference runs
     ``(nvars+1)/2`` per timestep, ``qmc_ising.rs:705-710``). Returns
-    ``(ops, state, successes i32[R])``."""
+    ``(ops, state, successes i32[R])``.
+
+    The constant-op inventory is computed once for the whole sweep (see
+    :func:`rvb_update_once`: RVB rewrites never move constant ops, so the
+    sorted inventory — an argsort over the full op string — is invariant
+    across the updates)."""
+    inventory = _const_inventory(ops, model)
 
     def body(carry, k):
         ops, state, succ = carry
-        ops, state, acc = rvb_update_once(ops, state, k, model, tables)
+        ops, state, acc = rvb_update_once(
+            ops, state, k, model, tables, inventory=inventory
+        )
         return (ops, state, succ + acc.astype(jnp.int32)), None
 
     keys = jax.random.split(key, n_updates)

@@ -92,6 +92,57 @@ class Test4x3Energy:
         assert mean == pytest.approx(exact, abs=max(5 * sem, 0.3)), (mean, exact)
 
 
+def lanczos_tfim_energy(edges, gamma, beta, nvars, k=64):
+    """Low-temperature thermal energy by sparse Lanczos (scipy ``eigsh``)
+    over the lowest ``k`` eigenstates, with a rigorous truncation check:
+    the neglected states' Boltzmann weight is bounded by
+    ``dim * exp(-beta * (w[k-1] - w[0]))``, asserted < 1e-6."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import eigsh
+
+    dim = 1 << nvars
+    idx = np.arange(dim)
+    diag = np.zeros(dim)
+    for (a, b), j in edges:
+        za = 1.0 - 2.0 * ((idx >> a) & 1)
+        zb = 1.0 - 2.0 * ((idx >> b) & 1)
+        diag += j * za * zb
+    rows = [idx]
+    cols = [idx]
+    vals = [diag]
+    for v in range(nvars):
+        rows.append(idx ^ (1 << v))
+        cols.append(idx)
+        vals.append(np.full(dim, -gamma))
+    H = coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(dim, dim),
+    ).tocsr()
+    w = eigsh(H, k=k, which="SA", return_eigenvectors=False)
+    w = np.sort(w)
+    cut = dim * np.exp(-beta * (w[-1] - w[0]))
+    assert cut < 1e-6, f"Lanczos truncation too coarse: {cut}"
+    z = np.exp(-beta * (w - w[0]))
+    return float((w * z).sum() / z.sum())
+
+
+class Test4x4Lanczos:
+    def test_4x4_periodic_low_t(self):
+        """16-spin periodic lattice (65536-dim, beyond dense ED): sparse
+        Lanczos oracle at low temperature. Exercises deep-beta op strings
+        (long imaginary-time extent) against an exact value."""
+        edges = lattice.square(4, 4, j=-1.0)
+        beta, gamma = 6.0, 1.5
+        exact = lanczos_tfim_energy(edges, gamma, beta, 16)
+        # Equilibrium <n> = beta*(offset - E) ~ 555 here: start the cutoff
+        # above the n + n/2 steady state so growth lag can't bias early
+        # measurement chunks, and warm across several growth checks.
+        g = QmcIsingGraph(edges, gamma, cutoff=896, replicas=96, seed=9)
+        mean, sem = run_energy(g, beta, warm=120, steps=200, chunk=40)
+        assert g.verify()
+        assert mean == pytest.approx(exact, abs=max(5 * sem, 0.35)), (mean, exact)
+
+
 class Test2DMagnetization:
     def test_3x3_msq_matches_ed(self):
         edges = lattice.square(3, 3, j=-1.0)

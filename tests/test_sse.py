@@ -240,3 +240,37 @@ class TestGenericQmc:
         q = Qmc(2, replicas=2, seed=16)
         q.make_interaction(np.full((2, 2), 0.5), [0])
         assert q.has_cluster_edges
+
+
+class TestColdStartGrowth:
+    """Regression: with NO explicit cutoff, the stepping drivers must grow
+    the op string per step during the initial phase (the reference grows
+    after every timestep, ``qmc_ising.rs:786``). Before the growth-phase fix
+    a cold cutoff stayed truncated for whole fused chunks and biased the
+    energy estimator high by O(1) per site."""
+
+    def test_default_cutoff_energy_unbiased(self):
+        edges = lattice.chain(8, j=1.0, periodic=True)
+        beta, gamma = 1.4, 1.1
+        exact = exact_tfim_energy(edges, gamma, 0.0, beta, 8)
+        g = QmcIsingGraph(edges, transverse=gamma, replicas=96, seed=21)
+        g.timesteps(40, beta, chunk=20)
+        e = np.asarray(g.timesteps(200, beta, chunk=50))
+        sem = e.std() / np.sqrt(len(e))
+        assert g.cutoff >= 48, g.cutoff  # actually grew from the floor of 8
+        assert e.mean() == pytest.approx(exact, abs=max(5 * sem, 0.2)), (
+            e.mean(), exact,
+        )
+
+    def test_generic_qmc_default_cutoff(self):
+        edges = lattice.chain(6, j=1.0, periodic=True)
+        beta, gamma = 1.2, 0.9
+        exact = exact_tfim_energy(edges, gamma, 0.0, beta, 6)
+        g = QmcIsingGraph(edges, transverse=gamma, replicas=64, seed=22)
+        q = g.into_qmc()
+        q.timesteps(40, beta, chunk=20)
+        e = np.asarray(q.timesteps(200, beta, chunk=50))
+        sem = e.std() / np.sqrt(len(e))
+        assert e.mean() == pytest.approx(exact, abs=max(5 * sem, 0.25)), (
+            e.mean(), exact,
+        )
