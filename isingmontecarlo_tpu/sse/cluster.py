@@ -53,26 +53,45 @@ def _mm_take0(vals, idx, chunk=128):
     ``vals``. TPU gathers with per-lane indices run at ~75M elements/s
     (scalarized); routing the permutation through the systolic array is
     1.5-3.5x faster at these shapes and scales sub-linearly with the replica
-    count. f32 accumulation is exact for integer values < 2^24."""
+    count.
+
+    The one-hot is materialized in **bf16** (exact for 0/1) — it dominates
+    the HBM traffic at ``rows_i x rows_v`` per replica, so halving its bytes
+    and doubling the MXU rate is the main cost lever. Integer values are
+    routed exactly through the bf16 matmul as base-128 digit planes (each
+    digit < 128 is exact in bf16; the f32 accumulation of 0/1-weighted sums
+    is exact), recombined as ``hi * 128 + lo``. Bool/small values use a
+    single plane."""
     rows_v, R = vals.shape
     rows_i = idx.shape[0]
     chunk = min(chunk, R)
     G = -(-R // chunk)
     pad = G * chunk - R
-    vc = jnp.pad(vals.T.astype(jnp.float32), ((0, pad), (0, 0))).reshape(
-        G, chunk, rows_v
-    )
+    split = vals.dtype != jnp.bool_ and rows_v > 128
+    if split:
+        assert rows_v <= (1 << 14), "base-128 digit planes need values < 2^14"
+        planes = jnp.stack([vals // 128, vals % 128], axis=-1)  # [rows_v,R,2]
+    else:
+        planes = vals[..., None].astype(jnp.int32)  # [rows_v, R, 1]
+    D = planes.shape[-1]
+    vc = jnp.pad(
+        jnp.moveaxis(planes, 1, 0).astype(jnp.bfloat16), ((0, pad), (0, 0), (0, 0))
+    ).reshape(G, chunk, rows_v, D)
     ic = jnp.pad(idx.T, ((0, pad), (0, 0))).reshape(G, chunk, rows_i)
     iota = jnp.arange(rows_v, dtype=jnp.int32)
 
     def step(c, xs):
         vg, ig = xs
-        oh = (ig[:, :, None] == iota[None, None, :]).astype(jnp.float32)
-        y = jnp.einsum("cij,cj->ci", oh, vg, preferred_element_type=jnp.float32)
+        oh = (ig[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+        y = jnp.einsum(
+            "cij,cjd->cid", oh, vg, preferred_element_type=jnp.float32
+        )
         return c, y
 
     _, out = jax.lax.scan(step, None, (vc, ic))
-    return out.reshape(G * chunk, rows_i)[:R].T.astype(vals.dtype)
+    out = out.reshape(G * chunk, rows_i, D)[:R]
+    y = out[..., 0] * 128.0 + out[..., 1] if split else out[..., 0]
+    return y.T.astype(vals.dtype)
 
 
 def _take0_fast(vals, idx):
@@ -177,7 +196,62 @@ def segment_graph(ops: OpString, model: BondModel, leg_var, order_info=None):
     j0 = rank_k[0]
     seg_in = jnp.where(valid_op, _take0(seg_in_j, j0), S - 1)
     seg_out = jnp.where(valid_op, _take0(seg_out_j, j0), S - 1)
-    return seg_in, seg_out, u, v, S
+    # Per-replica segment count = final break-count prefix (for the compact
+    # label branch; includes segments isolated from every edge).
+    nseg = seg_raw[-1, :] + 1
+    return seg_in, seg_out, u, v, S, nseg
+
+
+def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume):
+    """Run ``consume(W, seg_in, seg_out, SL)`` on a statically *compacted*
+    label problem when it fits, else on the full-size one.
+
+    Segment ids are already dense per replica (cumsum-assigned in
+    :func:`segment_graph`) — only the static padding is oversized: the real
+    segment count is ``n_edge_ops + n_worldlines`` and the real edge count
+    ``n_multileg_ops + n_worldlines``, typically well under the padded
+    ``M + N + 1``. Caps: label rows at ``S // 2``, edge rows at ``2E // 3``
+    (16-aligned) — every per-round label gather/scatter shrinks
+    quadratically. A ``lax.cond`` guards overflow (both branches compile,
+    the cheap one executes). Edges are packed to the front with a
+    cumsum-position scatter (edges with dump endpoints are no-ops and never
+    one-sided, so ``u == dump`` identifies them); in the compact branch the
+    dump segment id remaps to the compact dump row ``C - 1``, which no real
+    id can reach (ids are bounded by the per-replica count ``nseg``,
+    including segments isolated from every edge). ``consume`` receives the
+    branch's label table, remapped per-op segment ids, and the static
+    label-space size, and must return pytrees of identical shape in both
+    branches."""
+    E, R = u.shape
+    C = max(256, 16 * (-(-(S // 2) // 16)))
+    CE = max(256, 16 * (-(-(2 * E // 3) // 16)))
+    if C + 64 >= S:
+        return consume(_hook_compress_labels(u, v, S), seg_in, seg_out, S)
+    dump = S - 1
+    cdump = C - 1
+    is_edge = u != dump
+    nedge = jnp.sum(is_edge, axis=0)  # [R]
+    fits = (jnp.max(nseg) <= cdump) & (jnp.max(nedge) <= CE)
+
+    def compact(_):
+        pos = jnp.cumsum(is_edge.astype(jnp.int32), axis=0) - 1  # [E, R]
+        cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
+        tgt = jnp.where(is_edge, jnp.minimum(pos, CE - 1), CE)
+        uc = jnp.full((CE, R), cdump, jnp.int32).at[tgt, cols].set(
+            jnp.minimum(u, cdump), mode="drop"
+        )
+        vc = jnp.full((CE, R), cdump, jnp.int32).at[tgt, cols].set(
+            jnp.minimum(v, cdump), mode="drop"
+        )
+        Wc = _hook_compress_labels(uc, vc, C)
+        return consume(
+            Wc, jnp.minimum(seg_in, cdump), jnp.minimum(seg_out, cdump), C
+        )
+
+    def full(_):
+        return consume(_hook_compress_labels(u, v, S), seg_in, seg_out, S)
+
+    return jax.lax.cond(fits, compact, full, None)
 
 
 def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
@@ -226,12 +300,15 @@ def cluster_labels(ops: OpString, model: BondModel, wnext=None, wprev=None,
 
     if leg_var is None or order_info is None:
         leg_var, order_info = worldline_order(ops, model)
-    seg_in, seg_out, u, v, S = segment_graph(ops, model, leg_var, order_info)
-    W = _hook_compress_labels(u, v, S)
-    lab_in = _take0_fast(W, seg_in)
-    lab_out = _take0_fast(W, seg_out)
+    seg_in, seg_out, u, v, S, nseg = segment_graph(ops, model, leg_var, order_info)
     M, R = ops.bond.shape
-    return jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
+
+    def consume(W, s_in, s_out, SL):
+        lab_in = _take0_fast(W, s_in)
+        lab_out = _take0_fast(W, s_out)
+        return jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
+
+    return _compact_dispatch(u, v, S, nseg, seg_in, seg_out, consume)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -259,14 +336,9 @@ def cluster_update(
 
     leg_var, order_info = worldline_order(ops, model)
     order, svar, seg_start = order_info
-    seg_in, seg_out, gu, gv, S = segment_graph(ops, model, leg_var, order_info)
-    W = _hook_compress_labels(gu, gv, S)
-    lab_in = _take0_fast(W, seg_in)  # [M, R] component root id
-    lab_out = _take0_fast(W, seg_out)
+    seg_in, seg_out, gu, gv, S, nseg = segment_graph(ops, model, leg_var, order_info)
 
     k_u = jax.random.fold_in(key, 0)
-    u_root = jax.random.uniform(k_u, (S, R))
-
     valid_op = ops.bond >= 0
     b = jnp.maximum(ops.bond, 0)
     si = substate_index(ops.inputs)  # [M, R]
@@ -282,20 +354,31 @@ def cluster_update(
     else:
         w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
         w_flip = jnp.where(fsi == fso, model.diag_w[b, fsi], 0.0)
-
-    both_sides = valid_op & (lab_in == lab_out)  # cluster.rs:120-128
-    ratio = jnp.where(both_sides, w_flip / jnp.maximum(w_cur, 1e-30), 1.0)
-    frozen = both_sides & (w_flip <= 0.0)
-
-    logr = jnp.where(both_sides, jnp.log(jnp.maximum(ratio, 1e-30)), 0.0)
     rows_m = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
-    acc_logr = jnp.zeros((S, R), jnp.float32).at[lab_in, rows_m].add(logr)
-    acc_frozen = jnp.zeros((S, R), bool).at[lab_in, rows_m].max(frozen)
 
-    flip_prob = jnp.minimum(prob * jnp.exp(acc_logr), 1.0)
-    flip_root = (u_root < flip_prob) & ~acc_frozen  # [S, R] per root id
-    flip_in = _take0_fast(flip_root, lab_in) & valid_op  # [M, R]
-    flip_out = _take0_fast(flip_root, lab_out) & valid_op
+    def _flip_decisions(W, s_in, s_out, SL: int):
+        """Per-root flip decisions at label-space size ``SL`` — run inside
+        the compact/full cond branches so every label-space gather, scatter,
+        and uniform draw shrinks with the compact cap (the branches draw
+        different-shaped uniforms; both are valid chains)."""
+        lab_in = _take0_fast(W, s_in)  # [M, R] component root id
+        lab_out = _take0_fast(W, s_out)
+        both_sides = valid_op & (lab_in == lab_out)  # cluster.rs:120-128
+        ratio = jnp.where(both_sides, w_flip / jnp.maximum(w_cur, 1e-30), 1.0)
+        frozen = both_sides & (w_flip <= 0.0)
+        logr = jnp.where(both_sides, jnp.log(jnp.maximum(ratio, 1e-30)), 0.0)
+        acc_logr = jnp.zeros((SL, R), jnp.float32).at[lab_in, rows_m].add(logr)
+        acc_frozen = jnp.zeros((SL, R), bool).at[lab_in, rows_m].max(frozen)
+        flip_prob = jnp.minimum(prob * jnp.exp(acc_logr), 1.0)
+        u_root = jax.random.uniform(k_u, (SL, R))
+        flip_root = (u_root < flip_prob) & ~acc_frozen  # [SL, R] per root
+        f_in = _take0_fast(flip_root, lab_in) & valid_op  # [M, R]
+        f_out = _take0_fast(flip_root, lab_out) & valid_op
+        return f_in, f_out
+
+    flip_in, flip_out = _compact_dispatch(
+        gu, gv, S, nseg, seg_in, seg_out, _flip_decisions
+    )
 
     legv = jnp.moveaxis(
         jnp.where((ops.bond >= 0)[..., None], model.bond_vars[b], -1), -1, 0

@@ -86,3 +86,35 @@ def test_labels_match_union_find(L, beta, transverse, longitudinal, seed):
             ):
                 assert fwd.setdefault(ref_l, got_l) == got_l, f"r={r} p={p}"
                 assert bwd.setdefault(got_l, ref_l) == ref_l, f"r={r} p={p}"
+
+
+def test_labels_large_m_compact_branch():
+    """A cutoff large enough that the compact label branch actually runs
+    (``_compacted_labels`` falls back to the full-size loop when the static
+    cap would not shrink the problem): S = M + N + 1 must exceed
+    ``max(256, S//2) + 64``. Same brute-force partition oracle."""
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.2, replicas=4, seed=5, cutoff=640)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(2.0), g.model, 10)
+    ops, model = g.sse.ops, g.model
+    M = ops.bond.shape[0]
+    S = M + model.nvars + 1
+    C = max(256, 16 * (-(-(S // 2) // 16)))
+    assert C + 64 < S, (C, S)  # compact branch is reachable at this size
+    labels = np.asarray(_cluster.cluster_labels(ops, model))
+    bond = np.asarray(ops.bond)
+    bv = np.asarray(model.bond_vars)
+    ic = np.asarray(model.is_constant)
+    _, R = bond.shape
+    for r in range(R):
+        ref_in, ref_out = brute_partition(bond[:, r], ic, bv)
+        fwd, bwd = {}, {}
+        for p in range(M):
+            if bond[p, r] < 0:
+                continue
+            for ref_l, got_l in (
+                (ref_in[p], labels[2 * p, r]),
+                (ref_out[p], labels[2 * p + 1, r]),
+            ):
+                assert fwd.setdefault(ref_l, got_l) == got_l, f"r={r} p={p}"
+                assert bwd.setdefault(got_l, ref_l) == ref_l, f"r={r} p={p}"
