@@ -1,7 +1,13 @@
 """24x24 periodic TFIM soak — mirror of ``examples/crash_check.rs``.
 
-Run: PYTHONPATH=. python examples/crash_check.py
+Run: python examples/crash_check.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

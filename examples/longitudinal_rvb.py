@@ -1,8 +1,14 @@
 """BASELINE config 4: 2D TFIM with longitudinal field, RVB updates enabled,
 verify-oracle checked (the longitudinal + rvb crash tests as a demo).
 
-Run: PYTHONPATH=. python examples/longitudinal_rvb.py
+Run: python examples/longitudinal_rvb.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -1,7 +1,13 @@
 """4-spin ring TFIM quickstart — mirror of ``examples/small_qmc.rs``.
 
-Run: PYTHONPATH=. python examples/small_qmc.py
+Run: python examples/small_qmc.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -1,8 +1,14 @@
 """BASELINE config 5: 2D +-J spin glass, 64 replicas, parallel tempering
 with device-side replica exchange; shards over every available device.
 
-Run: PYTHONPATH=. python examples/spin_glass_tempering.py
+Run: python examples/spin_glass_tempering.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -111,17 +111,37 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
         b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
 
     # --- flip-parity tensor [M, R, N] ---------------------------------------
+    # Per-lane TPU scatters/gathers on this tensor are scalarized (~75M
+    # elements/s) and dominated the precompute; on TPU both the toggle
+    # scatter and the parity/state lookups ride the MXU as one-hot einsums
+    # instead (exact: one op per slot means each (slot, var) receives at
+    # most one toggle, and each lookup matches exactly one 0/1 entry,
+    # accumulated in f32).
+    on_tpu = jax.default_backend() == "tpu"
     vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]  # [M, R, K]
     leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
     tog = jnp.moveaxis(ops.inputs != ops.outputs, 0, -1) & leg_ok  # [M, R, K]
-    p_idx = jnp.broadcast_to(
-        jnp.arange(M, dtype=jnp.int32)[:, None, None], (M, R, K)
-    )
     r_idx = jnp.broadcast_to(rows[None, :, None], (M, R, K))
     v_idx = jnp.where(leg_ok, vars_all, N)
-    flips = jnp.zeros((M, R, N), bool).at[p_idx, r_idx, v_idx].max(
-        tog, mode="drop"
-    )
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    if on_tpu:
+        oh_v = (v_idx[..., None] == iota_n).astype(jnp.bfloat16)  # [M,R,K,N]
+        flips = (
+            jnp.einsum(
+                "mrk,mrkn->mrn",
+                tog.astype(jnp.bfloat16),
+                oh_v,
+                preferred_element_type=jnp.float32,
+            )
+            > 0.5
+        )
+    else:
+        p_idx = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[:, None, None], (M, R, K)
+        )
+        flips = jnp.zeros((M, R, N), bool).at[p_idx, r_idx, v_idx].max(
+            tog, mode="drop"
+        )
     inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
     par_excl = jnp.concatenate(
         [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
@@ -131,8 +151,21 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     vq = model.bond_vars[b_new]  # [M, R, K]
     q_ok = vq >= 0
     vq_s = jnp.where(q_ok, vq, 0)
-    pb = jnp.take_along_axis(par_excl, vq_s, axis=2)  # [M, R, K]
-    sb = state[r_idx, vq_s]
+    if on_tpu:
+        oh_q = (vq_s[..., None] == iota_n).astype(jnp.bfloat16)  # [M,R,K,N]
+        looked = jnp.einsum(
+            "smrn,mrkn->smrk",
+            jnp.stack(
+                [par_excl, jnp.broadcast_to(state[None], (M, R, N))]
+            ).astype(jnp.bfloat16),
+            oh_q,
+            preferred_element_type=jnp.float32,
+        )
+        pb = looked[0] > 0.5
+        sb = looked[1] > 0.5
+    else:
+        pb = jnp.take_along_axis(par_excl, vq_s, axis=2)  # [M, R, K]
+        sb = state[r_idx, vq_s]
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]
     weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
     si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
