@@ -76,6 +76,10 @@ def _substate_idx(bits):
 # an [M, R, N] flip-parity tensor (i8 on TPU), so cap its footprint.
 _PAR_MAX_ELEMS = 1 << 29
 
+# Test hook: force the bit-packed MXU precompute branch on (True) or off
+# (False) regardless of backend; None = auto (TPU only).
+_FORCE_PACKED = None
+
 
 def _parallel_weights(ops, state, u1, model, hb, heatbath):
     """Everything the diagonal sweep needs per slot, computed upfront.
@@ -117,24 +121,72 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     # instead (exact: one op per slot means each (slot, var) receives at
     # most one toggle, and each lookup matches exactly one 0/1 entry,
     # accumulated in f32).
-    on_tpu = jax.default_backend() == "tpu"
+    if _FORCE_PACKED is not None:  # test hook
+        on_tpu = _FORCE_PACKED
+    else:
+        on_tpu = jax.default_backend() == "tpu"
     vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]  # [M, R, K]
     leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
     tog = jnp.moveaxis(ops.inputs != ops.outputs, 0, -1) & leg_ok  # [M, R, K]
     r_idx = jnp.broadcast_to(rows[None, :, None], (M, R, K))
     v_idx = jnp.where(leg_ok, vars_all, N)
-    iota_n = jnp.arange(N, dtype=jnp.int32)
+    vq = model.bond_vars[b_new]  # [M, R, K]
+    q_ok = vq >= 0
+    vq_s = jnp.where(q_ok, vq, 0)
     if on_tpu:
-        oh_v = (v_idx[..., None] == iota_n).astype(jnp.bfloat16)  # [M,R,K,N]
-        flips = (
-            jnp.einsum(
-                "mrk,mrkn->mrn",
-                tog.astype(jnp.bfloat16),
-                oh_v,
-                preferred_element_type=jnp.float32,
-            )
-            > 0.5
+        # Bit-packed MXU form: variables pack 16-per-int32-word, so the
+        # XOR scan runs over [M, R, W] ints (W = ceil(N/16), 4x less HBM
+        # traffic than the bool [M, R, N] form) and all one-hot tensors are
+        # W-wide, not N-wide. Exactness: toggle construction multiplies 0/1
+        # by a power of two (exact in bf16) and sums at most K distinct-bit
+        # terms in f32; the word fetch matches exactly one word, with word
+        # values split into byte planes (< 256, exact in bf16) and
+        # recombined in f32.
+        W = -(-N // 16)
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        bitw = (1 << (v_idx % 16)).astype(jnp.bfloat16)  # exact powers of two
+        oh_vw = jnp.where(
+            (v_idx // 16)[..., None] == iota_w, bitw[..., None], 0.0
+        ).astype(jnp.bfloat16)  # [M, R, K, W]
+        flips_w = jnp.einsum(
+            "mrk,mrkw->mrw",
+            tog.astype(jnp.bfloat16),
+            oh_vw,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        inc = jax.lax.associative_scan(jax.lax.bitwise_xor, flips_w, axis=0)
+        par_w = jnp.concatenate(
+            [jnp.zeros((1, R, W), jnp.int32), inc[:-1]], axis=0
         )
+        state_w = jnp.einsum(
+            "rn,nw->rw",
+            state.astype(jnp.bfloat16),
+            jnp.where(
+                (jnp.arange(N, dtype=jnp.int32) // 16)[:, None] == iota_w,
+                (1 << (jnp.arange(N) % 16)).astype(jnp.bfloat16)[:, None],
+                0.0,
+            ).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [R, W]
+        planes = jnp.stack(
+            [
+                par_w >> 8,
+                par_w & 0xFF,
+                jnp.broadcast_to((state_w >> 8)[None], (M, R, W)),
+                jnp.broadcast_to((state_w & 0xFF)[None], (M, R, W)),
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)  # [M, R, W, 4] byte planes, < 256 each
+        oh_qw = ((vq_s // 16)[..., None] == iota_w).astype(jnp.bfloat16)
+        words = jnp.einsum(
+            "mrwd,mrkw->mrkd",
+            planes,
+            oh_qw,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [M, R, K, 4]
+        bit = vq_s % 16
+        pb = (((words[..., 0] << 8) | words[..., 1]) >> bit) & 1 == 1
+        sb = (((words[..., 2] << 8) | words[..., 3]) >> bit) & 1 == 1
     else:
         p_idx = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[:, None, None], (M, R, K)
@@ -142,28 +194,10 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
         flips = jnp.zeros((M, R, N), bool).at[p_idx, r_idx, v_idx].max(
             tog, mode="drop"
         )
-    inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
-    par_excl = jnp.concatenate(
-        [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
-    )
-
-    # --- proposal spin bits and weights -------------------------------------
-    vq = model.bond_vars[b_new]  # [M, R, K]
-    q_ok = vq >= 0
-    vq_s = jnp.where(q_ok, vq, 0)
-    if on_tpu:
-        oh_q = (vq_s[..., None] == iota_n).astype(jnp.bfloat16)  # [M,R,K,N]
-        looked = jnp.einsum(
-            "smrn,mrkn->smrk",
-            jnp.stack(
-                [par_excl, jnp.broadcast_to(state[None], (M, R, N))]
-            ).astype(jnp.bfloat16),
-            oh_q,
-            preferred_element_type=jnp.float32,
+        inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
+        par_excl = jnp.concatenate(
+            [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
         )
-        pb = looked[0] > 0.5
-        sb = looked[1] > 0.5
-    else:
         pb = jnp.take_along_axis(par_excl, vq_s, axis=2)  # [M, R, K]
         sb = state[r_idx, vq_s]
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]

@@ -55,3 +55,47 @@ def test_fast_path_matches_scan(L, G, h, beta, heatbath, scaled):
     assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
     assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
     assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,heatbath,scaled",
+    [
+        (3, 1.0, 0.0, 1.0, False, False),
+        (3, 1.0, 0.3, 1.0, True, False),
+        (3, 1.0, 0.2, 1.0, True, True),
+    ],
+)
+def test_packed_branch_matches_scan(L, G, h, beta, heatbath, scaled):
+    """The bit-packed MXU precompute branch (TPU default, forced here via
+    the test hook) must also be bit-identical to the sequential scan."""
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(edges, transverse=G, longitudinal=h, replicas=8, seed=3)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    bs = (
+        jax.random.uniform(
+            jax.random.key(L), (8, model.nbonds), minval=0.5, maxval=1.5
+        )
+        if scaled
+        else None
+    )
+    hbt = _diag.make_heatbath_tables(model, bs) if heatbath else None
+    key = jax.random.key(42)
+    a = _diag._diagonal_update_scan(
+        ops, state, jnp.float32(beta), key, model,
+        hb=hbt, heatbath=heatbath, bond_scale=bs,
+    )
+    _diag._FORCE_PACKED = True
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(beta), key, model,
+            hb=hbt, heatbath=heatbath, bond_scale=bs,
+        )
+    finally:
+        _diag._FORCE_PACKED = None
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))

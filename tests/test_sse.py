@@ -274,3 +274,24 @@ class TestColdStartGrowth:
         assert e.mean() == pytest.approx(exact, abs=max(5 * sem, 0.25)), (
             e.mean(), exact,
         )
+
+
+class TestJordanWigner:
+    def test_chain_matches_free_fermions(self):
+        """L=24 periodic TFIM chain vs the Jordan-Wigner free-fermion
+        finite-temperature energy (antiperiodic momenta / even-parity
+        sector; corrections exponentially small at this size) — an exact
+        oracle beyond dense-ED sizes."""
+        L, beta, gamma = 24, 1.5, 1.0
+        ks = (2 * np.arange(L) + 1) * np.pi / L
+        eps = 2.0 * np.sqrt(1.0 + gamma**2 - 2.0 * gamma * np.cos(ks))
+        exact = float(-(eps / 2.0 * np.tanh(beta * eps / 2.0)).sum())
+        edges = lattice.chain(L, j=-1.0, periodic=True)
+        g = QmcIsingGraph(edges, transverse=gamma, replicas=128, seed=31)
+        g.timesteps(50, beta, chunk=25)
+        e = np.asarray(g.timesteps(200, beta, chunk=50))
+        sem = e.std() / np.sqrt(len(e))
+        assert g.verify()
+        assert e.mean() == pytest.approx(exact, abs=max(5 * sem, 0.25)), (
+            e.mean(), exact,
+        )
