@@ -59,6 +59,16 @@ _BIG = jnp.int32(2**30)
 _TINY = 1e-30
 MAX_POPS = 16
 
+# Element-count gate for the vectorized acceptance+mutation path: it
+# materializes [M, R, NE] f32 and [M, R, K, N] one-hot tensors, so cap the
+# footprint (elements of the largest tensor) and fall back to the sequential
+# scan beyond it.
+_VEC_MAX_ELEMS = 1 << 26
+
+# Test hook: force the vectorized path on (True) or off (False); None = auto
+# (by footprint).
+_FORCE_VEC = None
+
 
 @jax.tree_util.register_pytree_node_class
 class RvbTables:
@@ -704,6 +714,208 @@ def _fused_scan(ops, state, model, tables, in0, is_toggle, key):
     return p_acc, nb, ni, no
 
 
+def _event_parity(v_idx, ev, base):
+    """Exclusive-prefix XOR parity of per-slot toggle events along imaginary
+    time, seeded with ``base``.
+
+    ``v_idx: i32[M, R, K]`` toggled variable per event (any value >= N for
+    no-event), ``ev: bool[M, R, K]`` event mask (at most one event per
+    (slot, var) — each op touches a variable through at most one leg),
+    ``base: bool[R, N]``. Returns ``bool[M, R, N]``: the parity state *just
+    below* slot p (events strictly before p applied to ``base``).
+
+    The event scatter rides the MXU as a one-hot einsum (TPU per-lane
+    scatters are scalarized, see ``diagonal.py::_parallel_weights``); the
+    prefix is a log-depth ``associative_scan`` XOR. Exact: the one-hot match
+    is unique per (slot, var) and 0/1 sums of <= K terms are exact in f32
+    accumulation.
+    """
+    M, R, K = v_idx.shape
+    N = base.shape[1]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    oh = (v_idx[..., None] == iota).astype(jnp.bfloat16)  # [M, R, K, N]
+    flips = jnp.einsum(
+        "mrk,mrkn->mrn",
+        ev.astype(jnp.bfloat16),
+        oh,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    inc = jax.lax.associative_scan(jnp.bitwise_xor, flips, axis=0)
+    par = jnp.concatenate([jnp.zeros((1, R, N), jnp.int32), inc[:-1]], 0) == 1
+    return par ^ base[None]
+
+
+def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
+    """Acceptance + candidate mutation with NO sequential scan.
+
+    The key observation about :func:`_fused_scan`: its carry ``(substate,
+    incl)`` is a function of the ORIGINAL op string only — ``substate``
+    follows the original off-diagonal outputs (for a consistent worldline,
+    "set to out bit" == "toggle at in != out") and ``incl`` toggles exactly
+    at the precomputed ``is_toggle`` slots. Both are therefore
+    exclusive-prefix XOR parities over imaginary time, computed here in
+    log-depth with :func:`_event_parity`; every per-slot quantity of the
+    scan body then vectorizes over the whole M axis, and ``logm`` is a plain
+    reduction. This is the TPU-native replacement for the reference's
+    heap-merged sparse sweep (``calculate_flip_prob``, ``rvb.rs:649-946``):
+    instead of *skipping* slots, all slots are processed in parallel.
+
+    Candidate op arrays are bit-identical to :func:`_fused_scan` (same
+    gumbel draws, same discrete arithmetic); ``p_acc`` can differ by f32
+    rounding only (summation order of the log-weight accumulation).
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    N = model.nvars
+    ne = tables.nedges
+    va_e = model.bond_vars[:ne, 0]  # [NE]
+    vb_e = model.bond_vars[:ne, 1]
+
+    occ = ops.bond >= 0  # [M, R]
+    b = jnp.maximum(ops.bond, 0)
+    vars_mrk = model.bond_vars[b]  # [M, R, K]
+    leg_ok = (vars_mrk >= 0) & occ[..., None]  # [M, R, K]
+    arity = jnp.sum(leg_ok, axis=-1)  # [M, R]
+    in_p = ops.inputs  # [K, M, R]
+    out_p = ops.outputs
+    is_diag_p = jnp.all(in_p == out_p, axis=0)  # [M, R]
+
+    # --- propagated worldline state and cluster mask, all slots at once ----
+    tog_flip = jnp.moveaxis(in_p != out_p, 0, -1) & leg_ok  # [M, R, K]
+    substates = _event_parity(
+        jnp.where(tog_flip, vars_mrk, N), tog_flip, state
+    )  # [M, R, N]
+    va0 = jnp.maximum(vars_mrk[..., 0], 0)
+    cb_ev = is_toggle & occ
+    incl = _event_parity(
+        jnp.where(cb_ev, va0, N)[..., None], cb_ev[..., None], in0
+    )  # [M, R, N]
+
+    # --- static-edge endpoint bits via one MXU one-hot matmul each ---------
+    # (axis-2 gathers with dynamic model indices would scalarize on TPU)
+    iota_n = jnp.arange(N, dtype=jnp.int32)[:, None]
+    oh_ab = jnp.concatenate(
+        [
+            (iota_n == va_e[None, :]),
+            (iota_n == vb_e[None, :]),
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)  # [N, 2*NE]
+    sbits = jnp.einsum(
+        "mrn,nq->mrq",
+        substates.astype(jnp.bfloat16),
+        oh_ab,
+        preferred_element_type=jnp.float32,
+    ) == 1.0  # [M, R, 2*NE]
+    ibits = jnp.einsum(
+        "mrn,nq->mrq",
+        incl.astype(jnp.bfloat16),
+        oh_ab,
+        preferred_element_type=jnp.float32,
+    ) == 1.0
+    sa, sb = sbits[..., :ne], sbits[..., ne:]
+    ia, ib = ibits[..., :ne], ibits[..., ne:]
+    bdry_e = ia ^ ib  # [M, R, NE]
+    fa, fb = sa ^ ia, sb ^ ib  # flipped = substate ^ incl
+
+    # diag weight of edge e at endpoint spins: select-sum over the 4
+    # substates (static edge axis, no dynamic gather).
+    dw_e = model.diag_w[:ne]  # [NE, 4]
+
+    def edge_w(xa, xb):
+        si = xa.astype(jnp.int32) + 2 * xb.astype(jnp.int32)  # [M, R, NE]
+        w = jnp.zeros(si.shape, jnp.float32)
+        for s in range(4):
+            w = w + jnp.where(si == s, dw_e[None, None, :, s], 0.0)
+        return w
+
+    w_bef = jnp.where(bdry_e, edge_w(sa, sb), 0.0)
+    w_aft = jnp.where(bdry_e, edge_w(fa, fb), 0.0)
+    wb_tot = jnp.sum(w_bef, axis=-1)  # [M, R]
+    wa_tot = jnp.sum(w_aft, axis=-1)
+
+    # --- per-slot cluster-membership bits at the op's own legs -------------
+    vars_safe = jnp.maximum(vars_mrk, 0)
+    oh_legs = (vars_safe[..., None] == jnp.arange(N, dtype=jnp.int32)).astype(
+        jnp.bfloat16
+    )  # [M, R, K, N]
+    incl_legs = jnp.einsum(
+        "mrkn,mrn->mrk",
+        oh_legs,
+        incl.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) == 1.0  # [M, R, K]
+    bdry = incl_legs[..., 0] ^ (incl_legs[..., 1] if K > 1 else incl_legs[..., 0])
+    is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
+    is_cb = is_toggle & occ
+    in_leg = incl_legs | ~leg_ok
+    completely_in = jnp.all(in_leg, axis=-1) & occ & (arity > 0)
+
+    # --- acceptance accumulation (rvb.rs:845-852, :873-879) ----------------
+    logm_slot = jnp.where(
+        is_boundary_op,
+        jnp.log(jnp.maximum(wa_tot, _TINY))
+        - jnp.log(jnp.maximum(wb_tot, _TINY)),
+        0.0,
+    )
+    legmask = (
+        jnp.arange(K, dtype=jnp.int32)[:, None, None] < arity[None]
+    )  # [K, M, R]
+    mask_bits = substate_index(legmask)
+    si = substate_index(in_p)
+    so = substate_index(out_p)
+    if model.full_w is not None:
+        w_cur = model.full_w[b, si, so]
+        w_flip = model.full_w[b, si ^ mask_bits, so ^ mask_bits]
+    else:
+        w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
+        w_flip = jnp.where(si == so, model.diag_w[b, si ^ mask_bits], 0.0)
+    ratio_ok = completely_in & ~is_boundary_op
+    logm_slot = logm_slot + jnp.where(
+        ratio_ok,
+        jnp.log(jnp.maximum(w_flip, _TINY))
+        - jnp.log(jnp.maximum(w_cur, _TINY)),
+        0.0,
+    )
+    p_acc = jnp.minimum(jnp.exp(jnp.sum(logm_slot, axis=0)), 1.0)
+
+    # --- candidate mutation (assume accepted; rvb.rs:294-615) --------------
+    g = jax.random.gumbel(key, (M, R, ne))
+    score = jnp.where(w_aft > 0, jnp.log(jnp.maximum(w_aft, _TINY)) + g, -jnp.inf)
+    b_new = jnp.argmax(score, axis=-1).astype(jnp.int32)  # [M, R]
+    oh_rot = b_new[..., None] == jnp.arange(ne, dtype=jnp.int32)  # [M, R, NE]
+    rot_bit_a = jnp.any(oh_rot & fa, axis=-1)
+    rot_bit_b = jnp.any(oh_rot & fb, axis=-1)
+    rot_bits = jnp.stack([rot_bit_a, rot_bit_b])  # [2, M, R]
+
+    do_rot = is_boundary_op
+    new_bond = jnp.where(do_rot, b_new, ops.bond)
+    new_in = in_p
+    new_out = out_p
+    if K == 2:
+        new_in = jnp.where(do_rot[None], rot_bits, new_in)
+        new_out = jnp.where(do_rot[None], rot_bits, new_out)
+    else:
+        pad = jnp.zeros((K - 2, M, R), bool)
+        rb = jnp.concatenate([rot_bits, pad], axis=0)
+        new_in = jnp.where(do_rot[None], rb, new_in)
+        new_out = jnp.where(do_rot[None], rb, new_out)
+
+    c_pre = incl_legs[..., 0]  # [M, R] membership of the constant op's var
+    do_cb = is_cb & ~do_rot
+    cb_in = in_p[0] ^ c_pre
+    cb_out = out_p[0] ^ (~c_pre)
+    new_in = new_in.at[0].set(jnp.where(do_cb, cb_in, new_in[0]))
+    new_out = new_out.at[0].set(jnp.where(do_cb, cb_out, new_out[0]))
+
+    do_flip_sym = completely_in & ~do_rot & ~do_cb
+    leg_ok_k = jnp.moveaxis(leg_ok, -1, 0)  # [K, M, R]
+    new_in = jnp.where(do_flip_sym[None] & leg_ok_k, ~new_in, new_in)
+    new_out = jnp.where(do_flip_sym[None] & leg_ok_k, ~new_out, new_out)
+
+    return p_acc, new_bond, new_in, new_out
+
+
 def rvb_update_once(
     ops: OpString,
     state: jax.Array,
@@ -728,7 +940,11 @@ def rvb_update_once(
         k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
     )
     in0, is_toggle = _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid)
-    p_acc, nb, ni, no = _fused_scan(
+    M, R = ops.bond.shape
+    footprint = M * R * max(tables.nedges, ops.max_legs * model.nvars, 1)
+    use_vec = footprint <= _VEC_MAX_ELEMS if _FORCE_VEC is None else _FORCE_VEC
+    fused = _fused_vectorized if use_vec else _fused_scan
+    p_acc, nb, ni, no = fused(
         ops, state, model, tables, in0, is_toggle, k_mut
     )
     accept = jax.random.uniform(k_acc, p_acc.shape) < p_acc

@@ -28,7 +28,11 @@ from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
         (3, 1.0, 0.4, 3.0, 13),
     ],
 )
-def test_fused_matches_legacy_two_scan(L, G, h, beta, seed):
+def test_fused_matches_legacy_two_scan(L, G, h, beta, seed, monkeypatch):
+    # Pin the scan path: the legacy two-scan oracle is bit-identical to
+    # _fused_scan specifically (the vectorized path is checked separately
+    # with a p_acc tolerance, since its log-weight summation order differs).
+    monkeypatch.setattr(_rvb, "_FORCE_VEC", False)
     edges = lattice.frustrated_square(L, L)
     g = QmcIsingGraph(
         edges, transverse=G, longitudinal=h, replicas=16, seed=seed
@@ -57,3 +61,56 @@ def test_fused_matches_legacy_two_scan(L, G, h, beta, seed):
         assert np.array_equal(np.asarray(a_state), np.asarray(b_state))
         # advance the chain so later trials see mutated strings
         ops, state = a_ops, a_state
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,seed",
+    [
+        (3, 1.0, 0.0, 4.0, 21),
+        (4, 0.8, 0.0, 2.0, 22),
+        (3, 1.0, 0.4, 3.0, 23),
+    ],
+)
+def test_vectorized_matches_fused_scan(L, G, h, beta, seed):
+    """The scan-free vectorized path must produce bit-identical candidate
+    rewrites (same gumbels, same discrete arithmetic) and the same
+    acceptance log-weight up to f32 summation-order rounding."""
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(
+        edges, transverse=G, longitudinal=h, replicas=16, seed=seed
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 12)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    tables = _rvb.make_rvb_tables(edges, model)
+    inventory = _rvb._const_inventory(ops, model)
+    cvar, cpos, cnext, valid, ncount, has_const = inventory
+
+    for trial in range(4):
+        key = jax.random.key(500 + trial)
+        k_build, k_acc, k_mut = jax.random.split(key, 3)
+        popped = _rvb._build_cluster(
+            k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount,
+            has_const,
+        )
+        in0, is_toggle = _rvb._cluster_masks(
+            popped, ops, model, cvar, cpos, cnext, valid
+        )
+        pa, nb_a, ni_a, no_a = _rvb._fused_scan(
+            ops, state, model, tables, in0, is_toggle, k_mut
+        )
+        pb, nb_b, ni_b, no_b = _rvb._fused_vectorized(
+            ops, state, model, tables, in0, is_toggle, k_mut
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=1e-5, rtol=1e-5
+        )
+        assert np.array_equal(np.asarray(nb_a), np.asarray(nb_b))
+        assert np.array_equal(np.asarray(ni_a), np.asarray(ni_b))
+        assert np.array_equal(np.asarray(no_a), np.asarray(no_b))
+        # advance the chain (accept-all candidate) so later trials see
+        # mutated op strings
+        from isingmontecarlo_tpu.sse.opstring import OpString
+
+        ops = OpString(bond=nb_a, inputs=ni_a, outputs=no_a)
+        state = state ^ in0
