@@ -80,6 +80,17 @@ _PAR_MAX_ELEMS = 1 << 29
 # (False) regardless of backend; None = auto (TPU only).
 _FORCE_PACKED = None
 
+# The fast path's carry scan over M slots is its only sequential piece; above
+# this many slots the block-speculative evaluation (see _carry_scan_spec) is
+# used. Test hook: set to small/huge to force the branch on/off.
+_SPEC_MIN_M = 2048
+# Candidate window half-width for the speculative carry: the op count at any
+# block boundary must stay within +-_SPEC_WINDOW/2 of the sweep's starting
+# count, else the exact sequential fallback runs (n fluctuates ~ sqrt(n) in
+# equilibrium, so overflow is a cold-start phenomenon).
+_SPEC_WINDOW = 512
+_SPEC_BLOCK = 128
+
 
 def _parallel_weights(ops, state, u1, model, hb, heatbath):
     """Everything the diagonal sweep needs per slot, computed upfront.
@@ -207,6 +218,92 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
 
 
+def _ins_rem(n, u0, idp, dgp, *extra, M, heatbath, bw_tot):
+    """Insert/remove decisions at op count ``n`` — the single definition of
+    the acceptance arithmetic (eqs 19a/19b, ``diagonal.rs:141-191`` /
+    ``heatbath.rs:149-209``) shared by the sequential carry scan and both
+    passes of the speculative evaluation, so all paths are bit-identical."""
+    mmn = (M - n).astype(jnp.float32)
+    if heatbath:
+        (insw,) = extra
+        ins_try = u0 * (mmn + bw_tot) < bw_tot
+        insert = idp & ins_try & insw
+        remove = dgp & (u0 * (mmn + 1.0 + bw_tot) < (mmn + 1.0))
+    else:
+        ni, nr = extra
+        insert = idp & (u0 * mmn < ni)
+        remove = dgp & (u0 * nr < (mmn + 1.0))
+    return insert, remove
+
+
+def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
+    """Block-speculative evaluation of the diagonal sweep's carry scan.
+
+    The only sequential dependence left in the fast path is the op count
+    ``n``: every slot's insert/remove decision is a function of ``n`` and
+    precomputed per-slot data. Evaluate blocks of ``_SPEC_BLOCK`` slots at
+    ``_SPEC_WINDOW`` candidate incoming counts in parallel (pass 1, all
+    blocks at once), thread the true block-entry counts through a tiny
+    per-block compose scan, then re-run every block at its true entry count
+    (pass 2, all blocks in parallel) to emit the decisions. Sequential depth
+    drops from M to 2*_SPEC_BLOCK + M/_SPEC_BLOCK. Decisions are
+    bit-identical to the sequential scan (same :func:`_ins_rem` floats at
+    the same integer counts); if any block-entry count leaves the candidate
+    window the ``bad`` flag is returned and the caller falls back to the
+    sequential scan.
+
+    Returns ``(insert bool[M, R], remove bool[M, R], bad bool[])``.
+    """
+    R = n0.shape[0]
+    W, C = _SPEC_WINDOW, _SPEC_BLOCK
+    B = -(-M // C)
+    pad = B * C - M
+
+    def blk(a):
+        # padded slots are inert: idp/dgp pad to False so no insert/remove
+        return jnp.pad(a, ((0, pad), (0, 0))).reshape(B, C, R).swapaxes(0, 1)
+
+    xs_b = tuple(blk(a) for a in xs)  # leaves [C, B, R]
+    n_base = jnp.maximum(n0 - W // 2, 0)  # [R]
+    cand = jnp.broadcast_to(
+        n_base[None, None, :] + jnp.arange(W, dtype=jnp.int32)[None, :, None],
+        (B, W, R),
+    )
+
+    def step1(ncur, xs_c):
+        args = tuple(a[:, None, :] for a in xs_c)  # [B, 1, R]
+        ins, rem = _ins_rem(
+            ncur, *args, M=M, heatbath=heatbath, bw_tot=bw_tot
+        )
+        return ncur + ins.astype(jnp.int32) - rem.astype(jnp.int32), None
+
+    out_n, _ = jax.lax.scan(step1, cand, xs_b, unroll=unroll)  # [B, W, R]
+
+    rows = jnp.arange(R)
+
+    def compose(carry, outs_b):
+        n_in, bad = carry
+        idx = n_in - n_base
+        ok = (idx >= 0) & (idx < W)
+        nxt = outs_b[jnp.clip(idx, 0, W - 1), rows]
+        return (jnp.where(ok, nxt, n_in), bad | ~ok), n_in
+
+    (_, bad), n_starts = jax.lax.scan(
+        compose, (n0, jnp.zeros((R,), bool)), out_n
+    )  # n_starts [B, R]
+
+    def step2(ncur, xs_c):
+        ins, rem = _ins_rem(
+            ncur, *xs_c, M=M, heatbath=heatbath, bw_tot=bw_tot
+        )
+        return ncur + ins.astype(jnp.int32) - rem.astype(jnp.int32), (ins, rem)
+
+    _, (ins, rem) = jax.lax.scan(step2, n_starts, xs_b, unroll=unroll)
+    ins = ins.swapaxes(0, 1).reshape(B * C, R)[:M]
+    rem = rem.swapaxes(0, 1).reshape(B * C, R)[:M]
+    return ins, rem, jnp.any(bad)
+
+
 @functools.partial(jax.jit, static_argnames=("heatbath", "unroll"))
 def _diagonal_update_fast(
     ops: OpString,
@@ -261,18 +358,13 @@ def _diagonal_update_fast(
         num_ins = beta[None, :] * NB * w_new  # [M, R]
         num_rem = beta[None, :] * NB * w_cur
 
+    bwt = bw_tot if heatbath else jnp.float32(0.0)
+
     def step(n, xs):
-        if heatbath:
-            u0, idp, dgp, insw = xs
-            mmn = (M - n).astype(jnp.float32)
-            ins_try = u0 * (mmn + bw_tot) < bw_tot
-            insert = idp & ins_try & insw
-            remove = dgp & (u0 * (mmn + 1.0 + bw_tot) < (mmn + 1.0))
-        else:
-            u0, idp, dgp, ni, nr = xs
-            mmn = (M - n).astype(jnp.float32)
-            insert = idp & (u0 * mmn < ni)
-            remove = dgp & (u0 * nr < (mmn + 1.0))
+        u0, idp, dgp = xs[:3]
+        insert, remove = _ins_rem(
+            n, u0, idp, dgp, *xs[3:], M=M, heatbath=heatbath, bw_tot=bwt
+        )
         n = n + insert.astype(jnp.int32) - remove.astype(jnp.int32)
         return n, (insert, remove)
 
@@ -280,7 +372,15 @@ def _diagonal_update_fast(
         xs = (u[0], is_ident, is_diag, ins_w)
     else:
         xs = (u[0], is_ident, is_diag, num_ins, num_rem)
-    _, (insert, remove) = jax.lax.scan(step, n0, xs, unroll=unroll)
+    if M >= _SPEC_MIN_M:
+        ins_s, rem_s, bad = _carry_scan_spec(n0, xs, M, heatbath, bwt, unroll)
+        insert, remove = jax.lax.cond(
+            bad,
+            lambda: jax.lax.scan(step, n0, xs, unroll=unroll)[1],
+            lambda: (ins_s, rem_s),
+        )
+    else:
+        _, (insert, remove) = jax.lax.scan(step, n0, xs, unroll=unroll)
 
     new_bond = jnp.where(insert, b_new, jnp.where(remove, -1, ops.bond))
     keep_in = jnp.where(insert[None], bits_new, ops.inputs)

@@ -251,26 +251,31 @@ def _build_cluster(key, ops, model, tables: RvbTables, cvar, cpos, cnext, valid,
         ps = jnp.where(is_flip, seg_s[c, rows], 0)
         pln = jnp.where(is_flip, seg_ln[c, rows], 0)  # 0 == full
 
-        # Lattice neighbors (rvb.rs:1095-1119).
-        for d in range(D):
-            ov = tables.neigh_var[v, d]  # [R]
-            bm_bond = tables.neigh_bond[v, d]
-            okd = (ov >= 0) & active
-            bm = tables.bond_mag[jnp.maximum(bm_bond, 0)]
-            ov_safe = jnp.where(okd, ov, N - 1)
-            # no-constant-op neighbor: push its whole worldline
-            zmask = okd & ~has_const[rows, ov_safe]
-            tgt = jnp.where(zmask, M + ov_safe, M + N - 1)
-            w = w.at[rows, tgt].add(
-                jnp.where(zmask & ~popped[rows, tgt], bm, 0.0)
-            )
-            # overlapping segments of the neighbor
-            cand = (cvar == ov_safe[None, :]) & valid & okd[None, :]  # [M, R]
-            ovl = _cyc_overlap(
-                ps[None, :], pln[None, :], seg_s, seg_ln, M
-            )
-            addm = cand & ovl & ~popped[:, :M].T
-            w = w.at[:, :M].add(jnp.where(addm, bm[None, :], 0.0).T)
+        # Lattice neighbors (rvb.rs:1095-1119), all D directions batched in
+        # one block (the body runs inside a while_loop at small shapes, so
+        # HLO count — not FLOPs — is the cost driver).
+        ov = tables.neigh_var[v]  # [R, D]
+        bm_bond = tables.neigh_bond[v]
+        okd = (ov >= 0) & active[:, None]
+        bm = tables.bond_mag[jnp.maximum(bm_bond, 0)]  # [R, D]
+        ov_safe = jnp.where(okd, ov, N - 1)
+        # no-constant-op neighbors: push their whole worldlines
+        zmask = okd & ~has_const[rows[:, None], ov_safe]
+        tgt = jnp.where(zmask, M + ov_safe, M + N - 1)  # [R, D]
+        w = w.at[rows[:, None], tgt].add(
+            jnp.where(zmask & ~popped[rows[:, None], tgt], bm, 0.0)
+        )
+        # overlapping segments of the neighbors: segment m belongs to some
+        # neighbor direction d iff cvar[m] == ov_safe[r, d]; directions of
+        # one var are distinct, so at most one d matches — sum its weight.
+        ovl = _cyc_overlap(ps[None, :], pln[None, :], seg_s, seg_ln, M)
+        cand_d = (
+            (cvar[:, :, None] == ov_safe[None, :, :])
+            & okd[None, :, :]
+        )  # [M, R, D]
+        add_w = jnp.sum(jnp.where(cand_d, bm[None, :, :], 0.0), axis=2)
+        addm = valid & ovl & ~popped[:, :M].T
+        w = w.at[:, :M].add(jnp.where(addm, add_w, 0.0).T)
 
         remaining = remaining - active.astype(jnp.int32)
         return w, popped, remaining, key
@@ -725,10 +730,14 @@ def _event_parity(v_idx, ev, base):
     below* slot p (events strictly before p applied to ``base``).
 
     The event scatter rides the MXU as a one-hot einsum (TPU per-lane
-    scatters are scalarized, see ``diagonal.py::_parallel_weights``); the
-    prefix is a log-depth ``associative_scan`` XOR. Exact: the one-hot match
-    is unique per (slot, var) and 0/1 sums of <= K terms are exact in f32
-    accumulation.
+    scatters are scalarized, see ``diagonal.py::_parallel_weights``), and so
+    does the prefix itself: parity = exclusive-prefix *count* mod 2, and the
+    prefix count is a strictly-lower-triangular matmul within blocks of 128
+    slots plus an exclusive cumsum of block totals (``associative_scan`` XOR
+    measured 1.1 ms at [224, 64, 64] — its log-depth slice/concat passes are
+    pure overhead on small tensors). Exact: all
+    summands are 0/1 in bf16, accumulated in f32 (integer counts < 2^24),
+    and the one-hot match is unique per (slot, var).
     """
     M, R, K = v_idx.shape
     N = base.shape[1]
@@ -739,9 +748,24 @@ def _event_parity(v_idx, ev, base):
         ev.astype(jnp.bfloat16),
         oh,
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    inc = jax.lax.associative_scan(jnp.bitwise_xor, flips, axis=0)
-    par = jnp.concatenate([jnp.zeros((1, R, N), jnp.int32), inc[:-1]], 0) == 1
+    )  # 0/1 counts, f32
+    C = 128
+    B = -(-M // C)
+    fl = jnp.pad(flips, ((0, B * C - M), (0, 0), (0, 0))).reshape(B, C, R, N)
+    tri = (
+        jnp.arange(C, dtype=jnp.int32)[:, None]
+        > jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    within = jnp.einsum(
+        "tc,bcrn->btrn",
+        tri,
+        fl.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # exclusive within-block prefix counts
+    tot = jnp.sum(fl, axis=1)  # [B, R, N]
+    blk = jnp.cumsum(tot, axis=0) - tot  # exclusive block prefix
+    cnt = (within + blk[:, None]).astype(jnp.int32)
+    par = ((cnt & 1) == 1).reshape(B * C, R, N)[:M]
     return par ^ base[None]
 
 

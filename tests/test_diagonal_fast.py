@@ -58,6 +58,45 @@ def test_fast_path_matches_scan(L, G, h, beta, heatbath, scaled):
 
 
 @pytest.mark.parametrize(
+    "heatbath,window",
+    [
+        (False, 512),
+        (True, 512),
+        # window 2 forces compose overflow -> exercises the exact fallback
+        (False, 2),
+    ],
+)
+def test_speculative_carry_matches_scan(heatbath, window, monkeypatch):
+    """The block-speculative carry evaluation (used for large M) must be
+    bit-identical to the sequential carry scan, including when the candidate
+    window overflows and the fallback branch runs."""
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=8, seed=9)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    hbt = _diag.make_heatbath_tables(model) if heatbath else None
+    key = jax.random.key(7)
+    a = _diag._diagonal_update_fast(
+        ops, state, jnp.float32(1.2), key, model, hb=hbt, heatbath=heatbath
+    )
+    monkeypatch.setattr(_diag, "_SPEC_MIN_M", 1)
+    monkeypatch.setattr(_diag, "_SPEC_WINDOW", window)
+    monkeypatch.setattr(_diag, "_SPEC_BLOCK", 16)
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(1.2), key, model,
+            hb=hbt, heatbath=heatbath,
+        )
+    finally:
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+@pytest.mark.parametrize(
     "L,G,h,beta,heatbath,scaled",
     [
         (3, 1.0, 0.0, 1.0, False, False),
