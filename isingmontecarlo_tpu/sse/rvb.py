@@ -805,18 +805,40 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     is_diag_p = jnp.all(in_p == out_p, axis=0)  # [M, R]
 
     # --- propagated worldline state and cluster mask, all slots at once ----
+    # Both are exclusive-prefix XOR parities over the same var axis, so one
+    # _event_parity pass computes them batched along the replica axis
+    # (lanes [0, R) = worldline substates, lanes [R, 2R) = cluster mask).
     tog_flip = jnp.moveaxis(in_p != out_p, 0, -1) & leg_ok  # [M, R, K]
-    substates = _event_parity(
-        jnp.where(tog_flip, vars_mrk, N), tog_flip, state
-    )  # [M, R, N]
     va0 = jnp.maximum(vars_mrk[..., 0], 0)
     cb_ev = is_toggle & occ
-    incl = _event_parity(
-        jnp.where(cb_ev, va0, N)[..., None], cb_ev[..., None], in0
-    )  # [M, R, N]
+    cb_v = jnp.where(cb_ev, va0, N)[..., None]  # [M, R, 1]
+    cb_pad = jnp.broadcast_to(jnp.int32(N), (M, R, K - 1)) if K > 1 else None
+    ev2 = jnp.concatenate(
+        [
+            tog_flip,
+            jnp.concatenate(
+                [cb_ev[..., None], jnp.zeros((M, R, K - 1), bool)], axis=-1
+            )
+            if K > 1
+            else cb_ev[..., None],
+        ],
+        axis=1,
+    )  # [M, 2R, K]
+    v2 = jnp.concatenate(
+        [
+            jnp.where(tog_flip, vars_mrk, N),
+            jnp.concatenate([cb_v, cb_pad], axis=-1) if K > 1 else cb_v,
+        ],
+        axis=1,
+    )
+    par2 = _event_parity(
+        v2, ev2, jnp.concatenate([state, in0], axis=0)
+    )  # [M, 2R, N]
+    substates, incl = par2[:, :R], par2[:, R:]
 
-    # --- static-edge endpoint bits via one MXU one-hot matmul each ---------
-    # (axis-2 gathers with dynamic model indices would scalarize on TPU)
+    # --- static-edge endpoint bits via one MXU one-hot matmul --------------
+    # (axis-2 gathers with dynamic model indices would scalarize on TPU;
+    # substates and incl share the matmul, batched along the replica axis)
     iota_n = jnp.arange(N, dtype=jnp.int32)[:, None]
     oh_ab = jnp.concatenate(
         [
@@ -825,18 +847,13 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
         ],
         axis=1,
     ).astype(jnp.bfloat16)  # [N, 2*NE]
-    sbits = jnp.einsum(
+    bits2 = jnp.einsum(
         "mrn,nq->mrq",
-        substates.astype(jnp.bfloat16),
+        par2.astype(jnp.bfloat16),
         oh_ab,
         preferred_element_type=jnp.float32,
-    ) == 1.0  # [M, R, 2*NE]
-    ibits = jnp.einsum(
-        "mrn,nq->mrq",
-        incl.astype(jnp.bfloat16),
-        oh_ab,
-        preferred_element_type=jnp.float32,
-    ) == 1.0
+    ) == 1.0  # [M, 2R, 2*NE]
+    sbits, ibits = bits2[:, :R], bits2[:, R:]
     sa, sb = sbits[..., :ne], sbits[..., ne:]
     ia, ib = ibits[..., :ne], ibits[..., ne:]
     bdry_e = ia ^ ib  # [M, R, NE]
@@ -853,8 +870,11 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
             w = w + jnp.where(si == s, dw_e[None, None, :, s], 0.0)
         return w
 
-    w_bef = jnp.where(bdry_e, edge_w(sa, sb), 0.0)
-    w_aft = jnp.where(bdry_e, edge_w(fa, fb), 0.0)
+    w2 = edge_w(
+        jnp.concatenate([sa, fa], axis=1), jnp.concatenate([sb, fb], axis=1)
+    )  # [M, 2R, NE] — before/after share the select-sum
+    w_bef = jnp.where(bdry_e, w2[:, :R], 0.0)
+    w_aft = jnp.where(bdry_e, w2[:, R:], 0.0)
     wb_tot = jnp.sum(w_bef, axis=-1)  # [M, R]
     wa_tot = jnp.sum(w_aft, axis=-1)
 
@@ -999,6 +1019,11 @@ def _rvb_update_once_legacy(ops, state, key, model, tables):
     return new_ops, new_state, accept
 
 
+# Element cap for the batched cluster-build path (it tiles the per-pop
+# [M, R, D] overlap tensors over all n_updates at once).
+_BUILD_BATCH_MAX_ELEMS = 1 << 25
+
+
 @functools.partial(jax.jit, static_argnames=("n_updates",))
 def rvb_sweep(
     ops: OpString,
@@ -1015,18 +1040,71 @@ def rvb_sweep(
     The constant-op inventory is computed once for the whole sweep (see
     :func:`rvb_update_once`: RVB rewrites never move constant ops, so the
     sorted inventory — an argsort over the full op string — is invariant
-    across the updates)."""
+    across the updates).
+
+    For the same reason cluster *building* is independent of the mutations
+    within a sweep — :func:`_build_cluster` and :func:`_cluster_masks` read
+    only the inventory, never the op contents — so all ``n_updates`` cluster
+    builds run in ONE vmapped pass up front (each sequential update then does
+    only the acceptance+mutation work). The builds' Gumbel-pop ``while_loop``
+    dominates the small-lattice latency; batching amortizes it across the
+    whole sweep. Bit-identical to the sequential form: the per-update key
+    splits are preserved, and inactive lanes of the vmapped pop loop are
+    fixed points of its body."""
+    M, R = ops.bond.shape
+    N = model.nvars
+    D = tables.neigh_bond.shape[1]
     inventory = _const_inventory(ops, model)
-
-    def body(carry, k):
-        ops, state, succ = carry
-        ops, state, acc = rvb_update_once(
-            ops, state, k, model, tables, inventory=inventory
-        )
-        return (ops, state, succ + acc.astype(jnp.int32)), None
-
     keys = jax.random.split(key, n_updates)
+    succ0 = jnp.zeros(state.shape[0], jnp.int32)
+
+    build_fp = n_updates * R * max(M * D, M + N)
+    if build_fp > _BUILD_BATCH_MAX_ELEMS:
+        # Large strings: keep builds inside the sequential loop.
+        def body_seq(carry, k):
+            ops, state, succ = carry
+            ops, state, acc = rvb_update_once(
+                ops, state, k, model, tables, inventory=inventory
+            )
+            return (ops, state, succ + acc.astype(jnp.int32)), None
+
+        (ops, state, succ), _ = jax.lax.scan(
+            body_seq, (ops, state, succ0), keys
+        )
+        return ops, state, succ
+
+    cvar, cpos, cnext, valid, ncount, has_const = inventory
+    splits = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [U, 3] keys
+    k_build, k_acc, k_mut = splits[:, 0], splits[:, 1], splits[:, 2]
+
+    popped = jax.vmap(
+        lambda kk: _build_cluster(
+            kk, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
+        )
+    )(k_build)  # [U, R, M+N]
+    in0, is_toggle = jax.vmap(
+        lambda p: _cluster_masks(p, ops, model, cvar, cpos, cnext, valid)
+    )(popped)  # [U, R, N], [U, M, R]
+
+    footprint = M * R * max(tables.nedges, ops.max_legs * N, 1)
+    use_vec = footprint <= _VEC_MAX_ELEMS if _FORCE_VEC is None else _FORCE_VEC
+    fused = _fused_vectorized if use_vec else _fused_scan
+
+    def body(carry, xs):
+        ops, state, succ = carry
+        in0_u, tog_u, ka, km = xs
+        p_acc, nb, ni, no = fused(ops, state, model, tables, in0_u, tog_u, km)
+        accept = jax.random.uniform(ka, p_acc.shape) < p_acc
+        acc_m = accept[None, :]
+        new_ops = OpString(
+            bond=jnp.where(acc_m, nb, ops.bond),
+            inputs=jnp.where(acc_m[None], ni, ops.inputs),
+            outputs=jnp.where(acc_m[None], no, ops.outputs),
+        )
+        new_state = state ^ (in0_u & accept[:, None])
+        return (new_ops, new_state, succ + accept.astype(jnp.int32)), None
+
     (ops, state, succ), _ = jax.lax.scan(
-        body, (ops, state, jnp.zeros(state.shape[0], jnp.int32)), keys
+        body, (ops, state, succ0), (in0, is_toggle, k_acc, k_mut)
     )
     return ops, state, succ

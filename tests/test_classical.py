@@ -112,6 +112,52 @@ class TestCheckerboard:
         assert abs(eg_mean - el_mean) < 0.02 * L * L, (eg_mean, el_mean)
 
 
+class TestCompactColorLayout:
+    def test_split_merge_roundtrip(self):
+        from isingmontecarlo_tpu.ops.checkerboard import merge_colors, split_colors
+
+        rng = np.random.default_rng(0)
+        s = rng.integers(0, 2, (3, 8, 8)).astype(bool)
+        eo = split_colors(jnp.asarray(s))
+        assert eo.shape == (3, 2, 8, 4)
+        assert np.array_equal(np.asarray(merge_colors(eo)), s)
+
+    def test_compact_neighbor_sums_match_full_field(self):
+        # The Pallas kernel computes neighbor sums on compacted (L, L/2)
+        # color planes via rolls of the other plane + a row-parity select.
+        # Verify that formula against brute-force full-field neighbor sums.
+        L = 8
+        rng = np.random.default_rng(7)
+        sf = rng.integers(0, 2, (L, L)).astype(np.float32) * 2 - 1
+
+        def split(f):
+            e = np.empty((L, L // 2), f.dtype)
+            o = np.empty((L, L // 2), f.dtype)
+            for y in range(L):
+                for k in range(L // 2):
+                    e[y, k] = f[y, 2 * k + (y & 1)]
+                    o[y, k] = f[y, 2 * k + 1 - (y & 1)]
+            return e, o
+
+        full_nsum = (
+            np.roll(sf, 1, 0) + np.roll(sf, -1, 0)
+            + np.roll(sf, 1, 1) + np.roll(sf, -1, 1)
+        )
+        want_e, want_o = split(full_nsum)
+        e, o = split(sf)
+        row_even = (np.arange(L) % 2 == 0)[:, None]
+        nsum_e = (
+            np.roll(o, 1, 0) + np.roll(o, -1, 0) + o
+            + np.where(row_even, np.roll(o, 1, 1), np.roll(o, -1, 1))
+        )
+        nsum_o = (
+            np.roll(e, 1, 0) + np.roll(e, -1, 0) + e
+            + np.where(row_even, np.roll(e, -1, 1), np.roll(e, 1, 1))
+        )
+        assert np.array_equal(nsum_e, want_e)
+        assert np.array_equal(nsum_o, want_o)
+
+
 class TestEdgeFlips:
     def test_preserves_detailed_balance_on_chain(self):
         L, beta = 16, 0.6

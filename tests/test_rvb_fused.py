@@ -66,6 +66,56 @@ def test_fused_matches_legacy_two_scan(L, G, h, beta, seed, monkeypatch):
 @pytest.mark.parametrize(
     "L,G,h,beta,seed",
     [
+        (3, 1.0, 0.0, 4.0, 31),
+        (3, 1.0, 0.4, 3.0, 33),
+    ],
+)
+def test_batched_build_sweep_matches_sequential(L, G, h, beta, seed):
+    """``rvb_sweep``'s batched cluster-build path (all builds in one vmapped
+    pass up front) must be bit-identical to the sequential form (one
+    ``rvb_update_once`` per update with the shared inventory): same per-update
+    key splits, and builds depend only on the sweep-invariant constant-op
+    inventory."""
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(
+        edges, transverse=G, longitudinal=h, replicas=16, seed=seed
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 12)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    tables = _rvb.make_rvb_tables(edges, model)
+    n_updates = 5
+
+    key = jax.random.key(777 + seed)
+    assert (
+        n_updates * state.shape[0]
+        * max(ops.bond.shape[0] * tables.neigh_bond.shape[1],
+              ops.bond.shape[0] + model.nvars)
+        <= _rvb._BUILD_BATCH_MAX_ELEMS
+    ), "test must exercise the batched-build path"
+    b_ops, b_state, b_succ = _rvb.rvb_sweep(
+        ops, state, key, model, tables, n_updates
+    )
+
+    inventory = _rvb._const_inventory(ops, model)
+    s_ops, s_state = ops, state
+    s_succ = jnp.zeros(state.shape[0], jnp.int32)
+    for k in jax.random.split(key, n_updates):
+        s_ops, s_state, acc = _rvb.rvb_update_once(
+            s_ops, s_state, k, model, tables, inventory=inventory
+        )
+        s_succ = s_succ + acc.astype(jnp.int32)
+
+    assert np.array_equal(np.asarray(b_succ), np.asarray(s_succ))
+    assert np.array_equal(np.asarray(b_ops.bond), np.asarray(s_ops.bond))
+    assert np.array_equal(np.asarray(b_ops.inputs), np.asarray(s_ops.inputs))
+    assert np.array_equal(np.asarray(b_ops.outputs), np.asarray(s_ops.outputs))
+    assert np.array_equal(np.asarray(b_state), np.asarray(s_state))
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,seed",
+    [
         (3, 1.0, 0.0, 4.0, 21),
         (4, 0.8, 0.0, 2.0, 22),
         (3, 1.0, 0.4, 3.0, 23),
