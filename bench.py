@@ -120,8 +120,18 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     edges = lattice.square(L, L, j=1.0)
     g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=7)
     beta = jnp.float32(1.0)
-    # Equilibrate + grow the cutoff to steady state.
-    for _ in range(4):
+    # Grow the cutoff to steady state (short chunks until stable), then
+    # equilibrate.
+    stable = 0
+    for _ in range(40):
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, 2)
+        jax.block_until_ready(ns)
+        before = g.cutoff
+        g._maybe_grow()
+        stable = stable + 1 if g.cutoff == before else 0
+        if stable >= 2:
+            break
+    for _ in range(2):
         g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
         jax.block_until_ready(ns)
         g._maybe_grow()
@@ -162,7 +172,20 @@ def bench_suite() -> None:
             **g._rvb_args(),
         )
         b = jnp.float32(beta)
-        for _ in range(3):
+        # Growth phase first: short chunks until the cutoff stops moving
+        # (from a cold start the cutoff grows ~1.5x per dispatch, so a fixed
+        # number of fused calls under-equilibrates deep strings, e.g. the
+        # beta=100 rvb_cold rows), then the fused warm rounds.
+        stable = 0
+        for _ in range(40):
+            g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, 2, **kw)
+            jax.block_until_ready(ns)
+            before = g.cutoff
+            g._maybe_grow()
+            stable = stable + 1 if g.cutoff == before else 0
+            if stable >= 2:
+                break
+        for _ in range(2):
             g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, warm, **kw)
             jax.block_until_ready(ns)
             g._maybe_grow()
@@ -206,6 +229,14 @@ def bench_suite() -> None:
         safe(
             f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
             10.0, 64, rvb=(n + 1) // 2, warm=4,
+        )
+    # Cold RVB (beta=100, benches/end_to_end.rs:336-429): deep op strings,
+    # more warm rounds to grow the cutoff to steady state.
+    for L in (4, 5):
+        n = L * L
+        safe(
+            f"two_d_rvb_cold_{L} (beta=100)", lattice.frustrated_square(L, L),
+            100.0, 64, rvb=(n + 1) // 2, warm=10,
         )
     # Last: this program size intermittently crashes the tunnel's TPU worker
     # (see CLAUDE.md); running it last keeps the rest of the table intact.

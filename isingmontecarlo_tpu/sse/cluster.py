@@ -35,6 +35,7 @@ also preserves all op weights — a strictly more ergodic, equally valid move.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +104,29 @@ def _take0_fast(vals, idx):
     return jnp.take_along_axis(vals, idx, axis=0)
 
 
-def segment_graph(ops: OpString, model: BondModel, leg_var, order_info=None):
+# Footprint gate for the one-hot wrap-edge einsum: it materializes a
+# [K*M, R, N] bf16 one-hot; beyond this the legacy scatter path runs. Both
+# the segment ids and flat leg indices must also fit two base-128 bf16
+# digit planes (< 128^2).
+_WRAP_EINSUM_MAX = 1 << 26
+
+_SORT_BIG = jnp.int32(2**30)
+
+
+class SegGraph(NamedTuple):
+    """Segment-contracted label problem (see :func:`segment_graph`)."""
+
+    seg_in: jax.Array  # i32[M, R] in-side segment id per op slot
+    seg_out: jax.Array  # i32[M, R]
+    u: jax.Array  # i32[E, R] edge endpoints (dump = S - 1)
+    v: jax.Array  # i32[E, R]
+    nseg: jax.Array  # i32[R] per-replica segment count
+    head_f: jax.Array  # i32[N, R] flat leg index of each var's first leg
+    #                      (K*M where the var has no legs)
+    S: int  # static label-space size
+
+
+def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
     """Contract worldline runs between cluster-edge ops into supernodes.
 
     Cluster connectivity over op sides (``cluster.rs:193-271``) factors
@@ -123,34 +146,49 @@ def segment_graph(ops: OpString, model: BondModel, leg_var, order_info=None):
     rows; in/out of a non-edge op share a segment, so leg sides need no
     separate edges) plus one periodic-wrap edge per variable (``N`` rows).
 
-    Returns ``(seg_in, seg_out, u, v, S)`` with per-op side segment ids
-    ``i32[M, R]`` and edge endpoint lists ``i32[E, R]``.
+    Per-lane dynamic gathers/scatters at path-space size dominated the old
+    implementation (measured ~9 of 13 ms at the rvb_06 equilibrium): the
+    edge flags now ride the worldline sort as a *payload operand*, and the
+    sorted-space segment ids return to flat leg space through a second
+    ``lax.sort`` keyed by the permutation itself (a stable sort by ``order``
+    puts every payload back at its original flat index) — sorts replace all
+    path-space gathers/scatters. The per-variable wrap rows (head/tail
+    segments, first-leg index) become one digit-plane one-hot einsum over
+    the variable axis (exact: one head and one tail per worldline, planes
+    < 128 are exact in bf16, f32 accumulation of a single matched term),
+    with the scatter path kept for footprints beyond the gate.
     """
-    from isingmontecarlo_tpu.sse.opstring import worldline_order
-
     M, R = ops.bond.shape
     K = ops.max_legs
     KM = K * M
     N = model.nvars
     S = M + N + 1
 
-    if order_info is None:
-        _, order_info = worldline_order(ops, model)
-    order, svar, seg_start = order_info  # [KM, R]
-
     valid_op = ops.bond >= 0  # [M, R]
     b = jnp.maximum(ops.bond, 0)
-    arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)  # [M, R]
+    bv = model.bond_vars[b]  # [M, R, K]
+    arity = jnp.sum(bv >= 0, axis=-1)  # [M, R]
     is_edge = model.is_constant[b] & (arity == 1) & valid_op  # cluster.rs:276-286
 
-    p_sorted = order % M
-    valid_j = svar >= 0
-    edge_j = _take0(is_edge, p_sorted) & valid_j
+    vars_kmr = jnp.where(valid_op[None], jnp.moveaxis(bv, -1, 0), -1)  # [K,M,R]
+    leg_var = vars_kmr.reshape(KM, R)
+    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
+    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _SORT_BIG)
+    iota_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
+    edge_leg = jnp.broadcast_to(is_edge[None], (K, M, R)).reshape(KM, R)
 
-    # rank[f] = sorted position of flat leg f.
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
-    src = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
-    rank = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(src)
+    skey, order, edge_s = jax.lax.sort(
+        (key, iota_f, edge_leg.astype(jnp.int32)), dimension=0, num_keys=1
+    )
+    valid_j = skey < _SORT_BIG
+    svar = jnp.where(valid_j, skey // M, -1)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
+    )
+    seg_end = jnp.concatenate(
+        [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
+    )
+    edge_j = (edge_s == 1) & valid_j
 
     # Path-space breaks: a new segment starts at worldline group heads
     # (before the in element) and at the in->out boundary of edge ops.
@@ -161,45 +199,78 @@ def segment_graph(ops: OpString, model: BondModel, leg_var, order_info=None):
     seg_e = jnp.where(valid_e, seg_raw, S - 1)
     seg_in_j = seg_e[0::2]  # [KM, R] segment of sorted leg j's in element
     seg_out_j = seg_e[1::2]
+    nseg = seg_raw[-1, :] + 1
+
+    # Back-permute sorted-space segment ids to flat leg space: stable sort
+    # keyed by the permutation (distinct keys -> payload f lands at row f).
+    _, seg_in_f, seg_out_f = jax.lax.sort(
+        (order, seg_in_j, seg_out_j), dimension=0, num_keys=1
+    )
+    seg_in_k = seg_in_f.reshape(K, M, R)
+    seg_out_k = seg_out_f.reshape(K, M, R)
+    seg_in = jnp.where(valid_op, seg_in_k[0], S - 1)
+    seg_out = jnp.where(valid_op, seg_out_k[0], S - 1)
 
     # Sibling edges: chain legs l and l+1 of each op via their in elements.
-    rank_k = rank.reshape(K, M, R)
-    lv_k = leg_var.reshape(K, M, R)
     us, vs = [], []
     for l in range(K - 1):
-        ok = (lv_k[l] >= 0) & (lv_k[l + 1] >= 0)
-        ua = _take0(seg_in_j, rank_k[l])
-        ub = _take0(seg_in_j, rank_k[l + 1])
-        us.append(jnp.where(ok, ua, S - 1))
-        vs.append(jnp.where(ok, ub, S - 1))
+        ok = (vars_kmr[l] >= 0) & (vars_kmr[l + 1] >= 0)
+        us.append(jnp.where(ok, seg_in_k[l], S - 1))
+        vs.append(jnp.where(ok, seg_in_k[l + 1], S - 1))
 
-    # Wrap edges: head-in segment <-> tail-out segment per variable group.
-    seg_end = jnp.concatenate(
-        [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
-    )
+    # Wrap edges (head-in segment <-> tail-out segment per variable group)
+    # and first-leg flat indices per variable.
     head = seg_start & valid_j
     tail = seg_end & valid_j
-    uw = (
-        jnp.full((N, R), S - 1, jnp.int32)
-        .at[jnp.where(head, svar, N), cols]
-        .set(seg_in_j, mode="drop")
-    )
-    vw = (
-        jnp.full((N, R), S - 1, jnp.int32)
-        .at[jnp.where(tail, svar, N), cols]
-        .set(seg_out_j, mode="drop")
-    )
+    if KM * R * N <= _WRAP_EINSUM_MAX and max(S, KM + 1) <= 128 * 128:
+        hf = head.astype(jnp.bfloat16)
+        tf = tail.astype(jnp.bfloat16)
+        planes = jnp.stack(
+            [
+                hf * (seg_in_j // 128).astype(jnp.bfloat16),
+                hf * (seg_in_j % 128).astype(jnp.bfloat16),
+                hf,
+                tf * (seg_out_j // 128).astype(jnp.bfloat16),
+                tf * (seg_out_j % 128).astype(jnp.bfloat16),
+                hf * (order // 128).astype(jnp.bfloat16),
+                hf * (order % 128).astype(jnp.bfloat16),
+            ],
+            axis=-1,
+        )  # [KM, R, 7], every entry < 128 (exact in bf16)
+        oh = (
+            svar[..., None] == jnp.arange(N, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)  # [KM, R, N]
+        out = jnp.einsum(
+            "jrd,jrn->nrd", planes, oh, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # [N, R, 7]
+        has_head = out[..., 2] > 0
+        uw = jnp.where(has_head, out[..., 0] * 128 + out[..., 1], S - 1)
+        vw = jnp.where(has_head, out[..., 3] * 128 + out[..., 4], S - 1)
+        head_f = jnp.where(has_head, out[..., 5] * 128 + out[..., 6], KM)
+    else:
+        cols = jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R)
+        )
+        uw = (
+            jnp.full((N, R), S - 1, jnp.int32)
+            .at[jnp.where(head, svar, N), cols]
+            .set(seg_in_j, mode="drop")
+        )
+        vw = (
+            jnp.full((N, R), S - 1, jnp.int32)
+            .at[jnp.where(tail, svar, N), cols]
+            .set(seg_out_j, mode="drop")
+        )
+        head_f = (
+            jnp.full((N, R), KM, jnp.int32)
+            .at[jnp.where(head, svar, N), cols]
+            .set(order, mode="drop")
+        )
     u = jnp.concatenate(us + [uw], axis=0)
     v = jnp.concatenate(vs + [vw], axis=0)
-
-    # Per-op side segment ids (leg 0 exists for every valid op).
-    j0 = rank_k[0]
-    seg_in = jnp.where(valid_op, _take0(seg_in_j, j0), S - 1)
-    seg_out = jnp.where(valid_op, _take0(seg_out_j, j0), S - 1)
-    # Per-replica segment count = final break-count prefix (for the compact
-    # label branch; includes segments isolated from every edge).
-    nseg = seg_raw[-1, :] + 1
-    return seg_in, seg_out, u, v, S, nseg
+    return SegGraph(
+        seg_in=seg_in, seg_out=seg_out, u=u, v=v, nseg=nseg, head_f=head_f, S=S
+    )
 
 
 def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume):
@@ -289,18 +360,13 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
     return P
 
 
-def cluster_labels(ops: OpString, model: BondModel, wnext=None, wprev=None,
-                   leg_var=None, order_info=None):
+def cluster_labels(ops: OpString, model: BondModel):
     """Min-label clusters over op sides via the contracted segment graph.
     Returns ``labels: i32[2M, R]`` (node ``2p`` = input side, ``2p+1`` =
     output side of slot ``p``); label values are component-min *segment* ids
     in ``[0, M+N]`` — equality defines the partition. Invalid slots share
     the dump segment's label."""
-    from isingmontecarlo_tpu.sse.opstring import worldline_order
-
-    if leg_var is None or order_info is None:
-        leg_var, order_info = worldline_order(ops, model)
-    seg_in, seg_out, u, v, S, nseg = segment_graph(ops, model, leg_var, order_info)
+    sg = segment_graph(ops, model)
     M, R = ops.bond.shape
 
     def consume(W, s_in, s_out, SL):
@@ -308,7 +374,9 @@ def cluster_labels(ops: OpString, model: BondModel, wnext=None, wprev=None,
         lab_out = _take0_fast(W, s_out)
         return jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
 
-    return _compact_dispatch(u, v, S, nseg, seg_in, seg_out, consume)
+    return _compact_dispatch(
+        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, consume
+    )
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -329,14 +397,11 @@ def cluster_update(
     model's weight tables so the same kernel serves symmetric models
     (ratio identically 1).
     """
-    from isingmontecarlo_tpu.sse.opstring import worldline_order
-
     M, R = ops.bond.shape
     K = ops.max_legs
 
-    leg_var, order_info = worldline_order(ops, model)
-    order, svar, seg_start = order_info
-    seg_in, seg_out, gu, gv, S, nseg = segment_graph(ops, model, leg_var, order_info)
+    sg = segment_graph(ops, model)
+    S = sg.S
 
     k_u = jax.random.fold_in(key, 0)
     valid_op = ops.bond >= 0
@@ -377,7 +442,7 @@ def cluster_update(
         return f_in, f_out
 
     flip_in, flip_out = _compact_dispatch(
-        gu, gv, S, nseg, seg_in, seg_out, _flip_decisions
+        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, _flip_decisions
     )
 
     legv = jnp.moveaxis(
@@ -390,14 +455,12 @@ def cluster_update(
 
     # Rebuild the p=0 state from the first op on each variable
     # (cluster.rs:150-160: propagated state at p=0 equals the first op's
-    # input on that variable).
+    # input on that variable). ``head_f`` maps each var to its first leg's
+    # flat index, so the rebuild is one tiny [N, R] gather instead of the
+    # old path-space gather + scatter.
     KM = K * M
-    j0 = seg_start & (svar >= 0)  # sorted positions that start a var group
-    # Sorted position j corresponds to leg order[j]; its (possibly flipped)
-    # input bit is the new p=0 spin for that variable.
     in_flat = new_inputs.reshape(KM, R)
-    first_val = _take0(in_flat, order)
-    scat_var = jnp.where(j0, svar, model.nvars)
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
-    new_state = state.at[cols.T, scat_var.T].set(first_val.T, mode="drop")
+    has_head = sg.head_f < KM
+    first_val = _take0(in_flat, jnp.minimum(sg.head_f, KM - 1))  # [N, R]
+    new_state = jnp.where(has_head.T, first_val.T, state)
     return new_ops, new_state

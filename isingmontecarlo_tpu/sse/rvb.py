@@ -119,6 +119,43 @@ def _take0(arr, idx):
     return jnp.take_along_axis(arr, idx, axis=0)
 
 
+# Flat-table size cap for the MXU one-hot gather: the one-hot operand is
+# idx-elements x T, so keep T small (RVB lattices are small; the gate also
+# keeps the fallback exact on any backend).
+_MXU_TABLE_MAX = 4096
+
+
+def _table_f32(table_flat, idx):
+    """Exact f32 table lookup ``table_flat[idx]``.
+
+    TPU gathers with per-lane dynamic indices scalarize (~0.5-0.9 ms for a
+    [R, M] index set at the RVB benchmark sizes — they dominated the fused
+    pass); on TPU with a small table the lookup rides the MXU instead: the
+    f32 bit patterns split into four byte planes (each < 256, exact in
+    bf16), a one-hot of the index selects each plane's byte (f32
+    accumulation of a single matched 0/1 term is exact), and the bytes
+    recombine bitwise — bit-exact against the plain gather at ~4x the speed
+    (measured 0.12 vs 0.5-0.9 ms)."""
+    T = table_flat.shape[0]
+    if jax.default_backend() != "tpu" or T > _MXU_TABLE_MAX:
+        return table_flat[idx]
+    bits = jax.lax.bitcast_convert_type(table_flat, jnp.int32)
+    planes = jnp.stack(
+        [(bits >> s) & 0xFF for s in (0, 8, 16, 24)], axis=-1
+    )  # [T, 4]
+    oh = (idx[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(jnp.bfloat16)
+    sel = jnp.einsum(
+        "...t,td->...d",
+        oh,
+        planes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    word = sel[..., 0] | (sel[..., 1] << 8) | (sel[..., 2] << 16) | (
+        sel[..., 3] << 24
+    )
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
 def _const_inventory(ops: OpString, model: BondModel):
     """Sorted constant-op inventory per replica.
 
@@ -138,8 +175,9 @@ def _const_inventory(ops: OpString, model: BondModel):
     p_idx = jnp.arange(M, dtype=jnp.int32)[:, None]
 
     key = jnp.where(is_const, var0 * M + p_idx, _BIG)
-    order = jnp.argsort(key, axis=0).astype(jnp.int32)
-    skey = _take0(key, order)
+    # Value sort only — the permutation is never needed, and argsort +
+    # gather costs an extra per-lane [M, R] gather on TPU.
+    skey = jax.lax.sort(key, dimension=0)
     valid = skey < _BIG
     cvar = jnp.where(valid, skey // M, model.nvars)
     cpos = jnp.where(valid, skey % M, 0)
@@ -787,6 +825,13 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     Candidate op arrays are bit-identical to :func:`_fused_scan` (same
     gumbel draws, same discrete arithmetic); ``p_acc`` can differ by f32
     rounding only (summation order of the log-weight accumulation).
+
+    Layout: the elementwise-heavy tensors put imaginary time M in the minor
+    (lane) dimension — ``[R, NE, M]`` / ``[K, R, M]`` — because TPU VPU
+    lanes are 128-wide and an NE- or R-minor layout wastes most of them
+    (measured 4.4x slower for a 30-op chain at [1408, 64, 32] vs
+    [64, 32, 1408]). The parity pass stays in its MXU-friendly form and is
+    transposed once.
     """
     M, R = ops.bond.shape
     K = ops.max_legs
@@ -799,10 +844,19 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     b = jnp.maximum(ops.bond, 0)
     vars_mrk = model.bond_vars[b]  # [M, R, K]
     leg_ok = (vars_mrk >= 0) & occ[..., None]  # [M, R, K]
-    arity = jnp.sum(leg_ok, axis=-1)  # [M, R]
     in_p = ops.inputs  # [K, M, R]
     out_p = ops.outputs
-    is_diag_p = jnp.all(in_p == out_p, axis=0)  # [M, R]
+
+    # M-minor views for the elementwise stages.
+    occ_t = occ.T  # [R, M]
+    b_t = b.T
+    vars_t = jnp.transpose(vars_mrk, (2, 1, 0))  # [K, R, M]
+    leg_ok_t = jnp.transpose(leg_ok, (2, 1, 0))  # [K, R, M]
+    arity_t = jnp.sum(leg_ok_t, axis=0)  # [R, M]
+    in_t = jnp.moveaxis(in_p, 1, 2)  # [K, R, M]
+    out_t = jnp.moveaxis(out_p, 1, 2)
+    is_diag_t = jnp.all(in_t == out_t, axis=0)  # [R, M]
+    tog_t = is_toggle.T  # [R, M]
 
     # --- propagated worldline state and cluster mask, all slots at once ----
     # Both are exclusive-prefix XOR parities over the same var axis, so one
@@ -834,7 +888,12 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     par2 = _event_parity(
         v2, ev2, jnp.concatenate([state, in0], axis=0)
     )  # [M, 2R, N]
-    substates, incl = par2[:, :R], par2[:, R:]
+    par2_t = jnp.moveaxis(par2, 0, -1)  # [2R, N, M] (one relayout pass)
+
+    # bf16 one-hot matmuls are exact for 0/1 operands and ride the MXU, but
+    # XLA:CPU's dot thunk rejects bf16 in this contraction layout — use f32
+    # off-TPU (identical values).
+    mm_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     # --- static-edge endpoint bits via one MXU one-hot matmul --------------
     # (axis-2 gathers with dynamic model indices would scalarize on TPU;
@@ -846,17 +905,17 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
             (iota_n == vb_e[None, :]),
         ],
         axis=1,
-    ).astype(jnp.bfloat16)  # [N, 2*NE]
+    ).astype(mm_dt)  # [N, 2*NE]
     bits2 = jnp.einsum(
-        "mrn,nq->mrq",
-        par2.astype(jnp.bfloat16),
+        "rnm,nq->rqm",
+        par2_t.astype(mm_dt),
         oh_ab,
         preferred_element_type=jnp.float32,
-    ) == 1.0  # [M, 2R, 2*NE]
-    sbits, ibits = bits2[:, :R], bits2[:, R:]
-    sa, sb = sbits[..., :ne], sbits[..., ne:]
-    ia, ib = ibits[..., :ne], ibits[..., ne:]
-    bdry_e = ia ^ ib  # [M, R, NE]
+    ) == 1.0  # [2R, 2*NE, M]
+    sbits, ibits = bits2[:R], bits2[R:]
+    sa, sb = sbits[:, :ne], sbits[:, ne:]  # [R, NE, M]
+    ia, ib = ibits[:, :ne], ibits[:, ne:]
+    bdry_e = ia ^ ib  # [R, NE, M]
     fa, fb = sa ^ ia, sb ^ ib  # flipped = substate ^ incl
 
     # diag weight of edge e at endpoint spins: select-sum over the 4
@@ -864,36 +923,37 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     dw_e = model.diag_w[:ne]  # [NE, 4]
 
     def edge_w(xa, xb):
-        si = xa.astype(jnp.int32) + 2 * xb.astype(jnp.int32)  # [M, R, NE]
+        si = xa.astype(jnp.int32) + 2 * xb.astype(jnp.int32)  # [., NE, M]
         w = jnp.zeros(si.shape, jnp.float32)
         for s in range(4):
-            w = w + jnp.where(si == s, dw_e[None, None, :, s], 0.0)
+            w = w + jnp.where(si == s, dw_e[None, :, s, None], 0.0)
         return w
 
     w2 = edge_w(
-        jnp.concatenate([sa, fa], axis=1), jnp.concatenate([sb, fb], axis=1)
-    )  # [M, 2R, NE] — before/after share the select-sum
-    w_bef = jnp.where(bdry_e, w2[:, :R], 0.0)
-    w_aft = jnp.where(bdry_e, w2[:, R:], 0.0)
-    wb_tot = jnp.sum(w_bef, axis=-1)  # [M, R]
-    wa_tot = jnp.sum(w_aft, axis=-1)
+        jnp.concatenate([sa, fa], axis=0), jnp.concatenate([sb, fb], axis=0)
+    )  # [2R, NE, M] — before/after share the select-sum
+    w_bef = jnp.where(bdry_e, w2[:R], 0.0)
+    w_aft = jnp.where(bdry_e, w2[R:], 0.0)
+    wb_tot = jnp.sum(w_bef, axis=1)  # [R, M]
+    wa_tot = jnp.sum(w_aft, axis=1)
 
     # --- per-slot cluster-membership bits at the op's own legs -------------
-    vars_safe = jnp.maximum(vars_mrk, 0)
-    oh_legs = (vars_safe[..., None] == jnp.arange(N, dtype=jnp.int32)).astype(
-        jnp.bfloat16
-    )  # [M, R, K, N]
+    incl_t = par2_t[R:]  # [R, N, M]
+    vars_safe = jnp.maximum(vars_t, 0)  # [K, R, M]
+    oh_legs = (
+        vars_safe[:, :, None, :] == jnp.arange(N, dtype=jnp.int32)[None, None, :, None]
+    ).astype(mm_dt)  # [K, R, N, M]
     incl_legs = jnp.einsum(
-        "mrkn,mrn->mrk",
+        "krnm,rnm->krm",
         oh_legs,
-        incl.astype(jnp.bfloat16),
+        incl_t.astype(mm_dt),
         preferred_element_type=jnp.float32,
-    ) == 1.0  # [M, R, K]
-    bdry = incl_legs[..., 0] ^ (incl_legs[..., 1] if K > 1 else incl_legs[..., 0])
-    is_boundary_op = occ & is_diag_p & (arity == 2) & (b < ne) & bdry
-    is_cb = is_toggle & occ
-    in_leg = incl_legs | ~leg_ok
-    completely_in = jnp.all(in_leg, axis=-1) & occ & (arity > 0)
+    ) == 1.0  # [K, R, M]
+    bdry = incl_legs[0] ^ (incl_legs[1] if K > 1 else incl_legs[0])
+    is_boundary_op = occ_t & is_diag_t & (arity_t == 2) & (b_t < ne) & bdry
+    is_cb = tog_t & occ_t
+    in_leg = incl_legs | ~leg_ok_t
+    completely_in = jnp.all(in_leg, axis=0) & occ_t & (arity_t > 0)
 
     # --- acceptance accumulation (rvb.rs:845-852, :873-879) ----------------
     logm_slot = jnp.where(
@@ -901,19 +961,26 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
         jnp.log(jnp.maximum(wa_tot, _TINY))
         - jnp.log(jnp.maximum(wb_tot, _TINY)),
         0.0,
-    )
+    )  # [R, M]
     legmask = (
-        jnp.arange(K, dtype=jnp.int32)[:, None, None] < arity[None]
-    )  # [K, M, R]
+        jnp.arange(K, dtype=jnp.int32)[:, None, None] < arity_t[None]
+    )  # [K, R, M]
     mask_bits = substate_index(legmask)
-    si = substate_index(in_p)
-    so = substate_index(out_p)
+    si = substate_index(in_t)
+    so = substate_index(out_t)
+    nsub = 1 << K
     if model.full_w is not None:
-        w_cur = model.full_w[b, si, so]
-        w_flip = model.full_w[b, si ^ mask_bits, so ^ mask_bits]
+        fw = model.full_w.reshape(-1)
+        w_cur = _table_f32(fw, (b_t * nsub + si) * nsub + so)
+        w_flip = _table_f32(
+            fw, (b_t * nsub + (si ^ mask_bits)) * nsub + (so ^ mask_bits)
+        )
     else:
-        w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
-        w_flip = jnp.where(si == so, model.diag_w[b, si ^ mask_bits], 0.0)
+        dw = model.diag_w.reshape(-1)
+        w_cur = jnp.where(si == so, _table_f32(dw, b_t * nsub + si), 0.0)
+        w_flip = jnp.where(
+            si == so, _table_f32(dw, b_t * nsub + (si ^ mask_bits)), 0.0
+        )
     ratio_ok = completely_in & ~is_boundary_op
     logm_slot = logm_slot + jnp.where(
         ratio_ok,
@@ -921,43 +988,51 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
         - jnp.log(jnp.maximum(w_cur, _TINY)),
         0.0,
     )
-    p_acc = jnp.minimum(jnp.exp(jnp.sum(logm_slot, axis=0)), 1.0)
+    p_acc = jnp.minimum(jnp.exp(jnp.sum(logm_slot, axis=1)), 1.0)
 
     # --- candidate mutation (assume accepted; rvb.rs:294-615) --------------
-    g = jax.random.gumbel(key, (M, R, ne))
+    # Same [M, R, NE] gumbel draw as _fused_scan (transposed, not redrawn,
+    # so the rotation choices stay bit-identical).
+    g = jnp.transpose(jax.random.gumbel(key, (M, R, ne)), (1, 2, 0))
     score = jnp.where(w_aft > 0, jnp.log(jnp.maximum(w_aft, _TINY)) + g, -jnp.inf)
-    b_new = jnp.argmax(score, axis=-1).astype(jnp.int32)  # [M, R]
-    oh_rot = b_new[..., None] == jnp.arange(ne, dtype=jnp.int32)  # [M, R, NE]
-    rot_bit_a = jnp.any(oh_rot & fa, axis=-1)
-    rot_bit_b = jnp.any(oh_rot & fb, axis=-1)
-    rot_bits = jnp.stack([rot_bit_a, rot_bit_b])  # [2, M, R]
+    b_new = jnp.argmax(score, axis=1).astype(jnp.int32)  # [R, M]
+    oh_rot = (
+        b_new[:, None, :] == jnp.arange(ne, dtype=jnp.int32)[None, :, None]
+    )  # [R, NE, M]
+    rot_bit_a = jnp.any(oh_rot & fa, axis=1)
+    rot_bit_b = jnp.any(oh_rot & fb, axis=1)
+    rot_bits = jnp.stack([rot_bit_a, rot_bit_b])  # [2, R, M]
 
     do_rot = is_boundary_op
-    new_bond = jnp.where(do_rot, b_new, ops.bond)
-    new_in = in_p
-    new_out = out_p
+    new_bond = jnp.where(do_rot, b_new, ops.bond.T)
+    new_in = in_t
+    new_out = out_t
     if K == 2:
         new_in = jnp.where(do_rot[None], rot_bits, new_in)
         new_out = jnp.where(do_rot[None], rot_bits, new_out)
     else:
-        pad = jnp.zeros((K - 2, M, R), bool)
+        pad = jnp.zeros((K - 2, R, M), bool)
         rb = jnp.concatenate([rot_bits, pad], axis=0)
         new_in = jnp.where(do_rot[None], rb, new_in)
         new_out = jnp.where(do_rot[None], rb, new_out)
 
-    c_pre = incl_legs[..., 0]  # [M, R] membership of the constant op's var
+    c_pre = incl_legs[0]  # [R, M] membership of the constant op's var
     do_cb = is_cb & ~do_rot
-    cb_in = in_p[0] ^ c_pre
-    cb_out = out_p[0] ^ (~c_pre)
+    cb_in = in_t[0] ^ c_pre
+    cb_out = out_t[0] ^ (~c_pre)
     new_in = new_in.at[0].set(jnp.where(do_cb, cb_in, new_in[0]))
     new_out = new_out.at[0].set(jnp.where(do_cb, cb_out, new_out[0]))
 
     do_flip_sym = completely_in & ~do_rot & ~do_cb
-    leg_ok_k = jnp.moveaxis(leg_ok, -1, 0)  # [K, M, R]
-    new_in = jnp.where(do_flip_sym[None] & leg_ok_k, ~new_in, new_in)
-    new_out = jnp.where(do_flip_sym[None] & leg_ok_k, ~new_out, new_out)
+    new_in = jnp.where(do_flip_sym[None] & leg_ok_t, ~new_in, new_in)
+    new_out = jnp.where(do_flip_sym[None] & leg_ok_t, ~new_out, new_out)
 
-    return p_acc, new_bond, new_in, new_out
+    return (
+        p_acc,
+        new_bond.T,
+        jnp.moveaxis(new_in, 2, 1),
+        jnp.moveaxis(new_out, 2, 1),
+    )
 
 
 def rvb_update_once(

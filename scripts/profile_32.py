@@ -70,8 +70,7 @@ def f_maps(ops, x):
 @jax.jit
 def f_labels(ops, x):
     o = ops._replace(bond=ops.bond + x - x)
-    wnext, wprev, leg_var, oi = _ops.worldline_maps(o, model)
-    labels = _cluster.cluster_labels(o, model, wnext, wprev, leg_var, oi)
+    labels = _cluster.cluster_labels(o, model)
     return jnp.sum(labels)
 
 

@@ -18,7 +18,16 @@ for L in (4, 6):
     g.set_run_rvb(True, updates_per_timestep=(n + 1) // 2)
     kw = dict(**g._rvb_args())
     b = jnp.float32(10.0)
-    for _ in range(3):
+    stable = 0
+    for _ in range(40):
+        g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, 2, **kw)
+        float(jnp.sum(ns))
+        before = g.cutoff
+        g._maybe_grow()
+        stable = stable + 1 if g.cutoff == before else 0
+        if stable >= 2:
+            break
+    for _ in range(2):
         g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, 4, **kw)
         float(jnp.sum(ns))
         g._maybe_grow()

@@ -86,8 +86,8 @@ def hook_compress_counted(u, v, S, n_compress):
 @functools.partial(jax.jit, static_argnames=("n_relax", "n_jump", "mode"))
 def run(ops, x, n_relax, n_jump, mode="relax"):
     o = ops._replace(bond=ops.bond + x - x)
-    _, _, leg_var, oi = _ops.worldline_maps(o, model)
-    seg_in, seg_out, u, v, S, _nseg = _cluster.segment_graph(o, model, leg_var, oi)
+    sg = _cluster.segment_graph(o, model)
+    seg_in, u, v, S = sg.seg_in, sg.u, sg.v, sg.S
     if mode == "relax":
         W, it = relax_counted(u, v, S, n_relax, n_jump)
     else:
@@ -109,8 +109,8 @@ def measure(label, *a, **kw):
 
 @jax.jit
 def labels_both(ops):
-    _, _, leg_var, oi = _ops.worldline_maps(ops, model)
-    seg_in, seg_out, u, v, S, _nseg = _cluster.segment_graph(ops, model, leg_var, oi)
+    sg = _cluster.segment_graph(ops, model)
+    u, v, S = sg.u, sg.v, sg.S
     Wr, _ = relax_counted(u, v, S, 1, 0)
     Ph, _ = hook_compress_counted(u, v, S, 2)
     return Wr, Ph
