@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
+from isingmontecarlo_tpu.sse.tables import row_select, row_select3
 
 def _take0(arr, idx):
     """Gather along axis 0 with a [X, R] index grid."""
@@ -414,11 +415,11 @@ def cluster_update(
     fsi = si ^ legmask
     fso = so ^ legmask
     if model.full_w is not None:
-        w_cur = model.full_w[b, si, so]
-        w_flip = model.full_w[b, fsi, fso]
+        w_cur = row_select3(model.full_w, b, si, so)
+        w_flip = row_select3(model.full_w, b, fsi, fso)
     else:
-        w_cur = jnp.where(si == so, model.diag_w[b, si], 0.0)
-        w_flip = jnp.where(fsi == fso, model.diag_w[b, fsi], 0.0)
+        w_cur = jnp.where(si == so, row_select(model.diag_w, b, si), 0.0)
+        w_flip = jnp.where(fsi == fso, row_select(model.diag_w, b, fsi), 0.0)
     rows_m = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
 
     def _flip_decisions(W, s_in, s_out, SL: int):

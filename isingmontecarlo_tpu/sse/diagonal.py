@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, op_count
+from isingmontecarlo_tpu.sse.tables import row_select
 
 
 class HeatBathTables(NamedTuple):
@@ -214,7 +215,7 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]
     weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
     si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
-    w_new = model.diag_w[b_new, si_new]
+    w_new = row_select(model.diag_w, b_new, si_new)
     return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
 
 
@@ -343,14 +344,16 @@ def _diagonal_update_fast(
         * (1 << jnp.arange(ops.max_legs, dtype=jnp.int32))[:, None, None],
         axis=0,
     )
-    w_cur = model.diag_w[b_safe, si_cur]
+    w_cur = row_select(model.diag_w, b_safe, si_cur)
     if bond_scale is not None:
         w_new = w_new * bond_scale[rows[None, :], b_new]
         w_cur = w_cur * bond_scale[rows[None, :], b_safe]
 
     if heatbath:
         bw_tot = beta * hb.total  # [R]
-        maxw = model.max_diag_w()[b_new]
+        # max over the gathered row == max_diag_w()[b_new] exactly (max is
+        # order-independent), and the row gather avoids a scalarized lookup.
+        maxw = jnp.max(model.diag_w[b_new], axis=-1)
         if bond_scale is not None:
             maxw = maxw * bond_scale[rows[None, :], b_new]
         ins_w = u[2] * maxw < w_new  # [M, R], n-independent part
