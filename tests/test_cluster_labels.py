@@ -118,3 +118,23 @@ def test_labels_large_m_compact_branch():
             ):
                 assert fwd.setdefault(ref_l, got_l) == got_l, f"r={r} p={p}"
                 assert bwd.setdefault(got_l, ref_l) == ref_l, f"r={r} p={p}"
+
+
+def test_wrap_einsum_matches_scatter_fallback(monkeypatch):
+    """``segment_graph``'s wrap-edge/head-index digit-plane einsum branch
+    must equal the scatter fallback (which production only reaches at
+    footprints beyond the gate, e.g. 32^2)."""
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.2, replicas=8, seed=9)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.5), g.model, 10)
+    g._maybe_grow()
+    ops, model = g.sse.ops, g.model
+
+    sg_einsum = _cluster.segment_graph(ops, model)
+    monkeypatch.setattr(_cluster, "_WRAP_EINSUM_MAX", 0)
+    sg_scatter = _cluster.segment_graph(ops, model)
+
+    for name in ("seg_in", "seg_out", "u", "v", "nseg", "head_f"):
+        a = np.asarray(getattr(sg_einsum, name))
+        b = np.asarray(getattr(sg_scatter, name))
+        assert np.array_equal(a, b), name

@@ -49,3 +49,23 @@ class TestCheckerboardKernel:
         e1 = float(np.mean(np.asarray(m.get_energy())))
         assert e1 < e0, "ferromagnet should lower energy at low T"
         assert abs(float(np.mean(np.asarray(m.get_magnetization())))) <= 128 * 128
+
+
+class TestMxuTableGather:
+    def test_table_f32_bit_exact(self):
+        """The byte-plane one-hot MXU table lookup must be bit-identical to
+        the plain gather for arbitrary f32 values (incl. negatives and wide
+        exponents)."""
+        import jax.numpy as jnp
+
+        from isingmontecarlo_tpu.sse import rvb as _rvb
+
+        key = jax.random.key(0)
+        T = 768
+        table = jax.random.normal(key, (T,), jnp.float32) * jnp.exp(
+            jax.random.normal(jax.random.key(1), (T,)) * 5
+        )
+        idx = jax.random.randint(jax.random.key(2), (32, 513), 0, T, jnp.int32)
+        a = jax.jit(_rvb._table_f32)(table, idx)
+        b = jax.jit(lambda t, i: t[i])(table, idx)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
