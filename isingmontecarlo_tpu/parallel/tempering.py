@@ -212,6 +212,7 @@ class TemperingContainer:
                 hb=self._hb,
                 heatbath=self._heatbath,
                 bond_scale=self._bond_scale(),
+                cluster_caps=g._cluster_caps,
             )
             done += todo
             before = g.cutoff

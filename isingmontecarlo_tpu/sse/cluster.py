@@ -274,7 +274,9 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
     )
 
 
-def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume):
+def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
+                      label_cap: int | None = None,
+                      edge_cap: int | None = None):
     """Run ``consume(W, seg_in, seg_out, SL)`` on a statically *compacted*
     label problem when it fits, else on the full-size one.
 
@@ -282,21 +284,24 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume):
     :func:`segment_graph`) — only the static padding is oversized: the real
     segment count is ``n_edge_ops + n_worldlines`` and the real edge count
     ``n_multileg_ops + n_worldlines``, typically well under the padded
-    ``M + N + 1``. Caps: label rows at ``S // 2``, edge rows at ``2E // 3``
-    (16-aligned) — every per-round label gather/scatter shrinks
-    quadratically. A ``lax.cond`` guards overflow (both branches compile,
-    the cheap one executes). Edges are packed to the front with a
-    cumsum-position scatter (edges with dump endpoints are no-ops and never
-    one-sided, so ``u == dump`` identifies them); in the compact branch the
-    dump segment id remaps to the compact dump row ``C - 1``, which no real
-    id can reach (ids are bounded by the per-replica count ``nseg``,
-    including segments isolated from every edge). ``consume`` receives the
-    branch's label table, remapped per-op segment ids, and the static
-    label-space size, and must return pytrees of identical shape in both
-    branches."""
+    ``M + N + 1``. Default caps: label rows at ``S // 2``, edge rows at
+    ``2E // 3`` (16-aligned); callers that track the real counts on the
+    host (``QmcIsingGraph._maybe_grow``) pass tighter static
+    ``label_cap``/``edge_cap`` — every per-round label gather/scatter
+    shrinks with them. A ``lax.cond`` guards overflow (both branches
+    compile, the cheap one executes). Edges are packed to the front with a
+    stable 3-operand sort on the dump flag (edges with dump endpoints are
+    no-ops and never one-sided, so ``u == dump`` identifies them; a sort
+    replaces two per-lane [E, R] scatters); in the compact branch the dump
+    segment id remaps to the compact dump row ``C - 1``, which no real id
+    can reach (ids are bounded by the per-replica count ``nseg``, including
+    segments isolated from every edge). ``consume`` receives the branch's
+    label table, remapped per-op segment ids, and the static label-space
+    size, and must return pytrees of identical shape in both branches."""
     E, R = u.shape
-    C = max(256, 16 * (-(-(S // 2) // 16)))
-    CE = max(256, 16 * (-(-(2 * E // 3) // 16)))
+    C = label_cap or max(256, 16 * (-(-(S // 2) // 16)))
+    CE = edge_cap or max(256, 16 * (-(-(2 * E // 3) // 16)))
+    CE = min(CE, E)
     if C + 64 >= S:
         return consume(_hook_compress_labels(u, v, S), seg_in, seg_out, S)
     dump = S - 1
@@ -306,15 +311,11 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume):
     fits = (jnp.max(nseg) <= cdump) & (jnp.max(nedge) <= CE)
 
     def compact(_):
-        pos = jnp.cumsum(is_edge.astype(jnp.int32), axis=0) - 1  # [E, R]
-        cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
-        tgt = jnp.where(is_edge, jnp.minimum(pos, CE - 1), CE)
-        uc = jnp.full((CE, R), cdump, jnp.int32).at[tgt, cols].set(
-            jnp.minimum(u, cdump), mode="drop"
+        _, us, vs = jax.lax.sort(
+            ((~is_edge).astype(jnp.int32), u, v), dimension=0, num_keys=1
         )
-        vc = jnp.full((CE, R), cdump, jnp.int32).at[tgt, cols].set(
-            jnp.minimum(v, cdump), mode="drop"
-        )
+        uc = jnp.minimum(us[:CE], cdump)
+        vc = jnp.minimum(vs[:CE], cdump)
         Wc = _hook_compress_labels(uc, vc, C)
         return consume(
             Wc, jnp.minimum(seg_in, cdump), jnp.minimum(seg_out, cdump), C
@@ -361,7 +362,9 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
     return P
 
 
-def cluster_labels(ops: OpString, model: BondModel):
+def cluster_labels(ops: OpString, model: BondModel,
+                   label_cap: int | None = None,
+                   edge_cap: int | None = None):
     """Min-label clusters over op sides via the contracted segment graph.
     Returns ``labels: i32[2M, R]`` (node ``2p`` = input side, ``2p+1`` =
     output side of slot ``p``); label values are component-min *segment* ids
@@ -376,17 +379,20 @@ def cluster_labels(ops: OpString, model: BondModel):
         return jnp.stack([lab_in, lab_out], axis=1).reshape(2 * M, R)
 
     return _compact_dispatch(
-        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, consume
+        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, consume,
+        label_cap=label_cap, edge_cap=edge_cap,
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("label_cap", "edge_cap"))
 def cluster_update(
     ops: OpString,
     state: jax.Array,  # bool[R, N]
     key: jax.Array,
     model: BondModel,
     prob: float = 0.5,
+    label_cap: int | None = None,
+    edge_cap: int | None = None,
 ) -> tuple[OpString, jax.Array]:
     """Flip every spacetime cluster with probability ``prob`` x weight ratio.
 
@@ -443,7 +449,8 @@ def cluster_update(
         return f_in, f_out
 
     flip_in, flip_out = _compact_dispatch(
-        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, _flip_decisions
+        sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, _flip_decisions,
+        label_cap=label_cap, edge_cap=edge_cap,
     )
 
     legv = jnp.moveaxis(

@@ -55,7 +55,9 @@ def resample_free_spins(
     return sse._replace(state=jnp.where(has_op, sse.state, fresh))
 
 
-@functools.partial(jax.jit, static_argnames=("heatbath", "n_rvb"))
+@functools.partial(
+    jax.jit, static_argnames=("heatbath", "n_rvb", "cluster_caps")
+)
 def sweep(
     sse: SseState,
     beta: jax.Array,
@@ -65,6 +67,7 @@ def sweep(
     rvb_tables=None,
     n_rvb: int = 0,
     bond_scale: jax.Array | None = None,
+    cluster_caps: tuple[int, int] | None = None,
 ) -> tuple[SseState, jax.Array]:
     """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
 
@@ -83,13 +86,19 @@ def sweep(
         )
     else:
         succ = jnp.zeros((state.shape[0],), jnp.int32)
-    ops, state = _cluster.cluster_update(ops, state, k_clust, model)
+    lc, ec = cluster_caps if cluster_caps is not None else (None, None)
+    ops, state = _cluster.cluster_update(
+        ops, state, k_clust, model, label_cap=lc, edge_cap=ec
+    )
     sse = SseState(ops=ops, state=state, key=key)
     return resample_free_spins(sse, k_free, model), succ
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsweeps", "heatbath", "collect_states", "n_rvb")
+    jax.jit,
+    static_argnames=(
+        "nsweeps", "heatbath", "collect_states", "n_rvb", "cluster_caps"
+    ),
 )
 def multi_sweep(
     sse: SseState,
@@ -102,6 +111,7 @@ def multi_sweep(
     rvb_tables=None,
     n_rvb: int = 0,
     bond_scale: jax.Array | None = None,
+    cluster_caps: tuple[int, int] | None = None,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
@@ -112,6 +122,7 @@ def multi_sweep(
         new, s = sweep(
             sse, beta, model, hb=hb, heatbath=heatbath,
             rvb_tables=rvb_tables, n_rvb=n_rvb, bond_scale=bond_scale,
+            cluster_caps=cluster_caps,
         )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
@@ -121,6 +132,18 @@ def multi_sweep(
         body, (sse, succ0), None, length=nsweeps
     )
     return sse, ns, states, succ
+
+
+@jax.jit
+def _cap_counts(ops: _ops.OpString, model: BondModel):
+    """Per-batch maxima of (constant-op count, multi-leg-op count) — the
+    real label/edge row counts of the cluster label problem (plus N)."""
+    b = jnp.maximum(ops.bond, 0)
+    occ = ops.bond >= 0
+    n_const = jnp.sum(model.is_constant[b] & occ, axis=0)
+    arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)
+    n_multi = jnp.sum(occ & (arity >= 2), axis=0)
+    return jnp.max(n_const), jnp.max(n_multi)
 
 
 def new_qmc(edges, transverse, longitudinal=0.0, cutoff=None, *, replicas=1,
@@ -174,6 +197,9 @@ class QmcIsingGraph:
         # Cold start: the cutoff has not yet tracked n + n/2 — stepping
         # drivers begin in the per-step growth phase (see timesteps_measure).
         self._growth_pending = True
+        # Host-tracked static caps for the cluster label stage (monotone,
+        # 16-quantized; see _maybe_grow). None until first measured.
+        self._cluster_caps: tuple[int, int] | None = None
         key = jax.random.key(seed)
         key, k_state = jax.random.split(key)
         if state is None:
@@ -481,8 +507,10 @@ class QmcIsingGraph:
     def single_cluster_step(self) -> None:
         """One cluster update only (``qmc_ising.rs:275-321``)."""
         key, k_clust = jax.random.split(self.sse.key)
+        lc, ec = self._cluster_caps or (None, None)
         ops, state = _cluster.cluster_update(
-            self.sse.ops, self.sse.state, k_clust, self.model
+            self.sse.ops, self.sse.state, k_clust, self.model,
+            label_cap=lc, edge_cap=ec,
         )
         self.sse = SseState(ops=ops, state=state, key=key)
 
@@ -513,17 +541,30 @@ class QmcIsingGraph:
 
     def _maybe_grow(self) -> None:
         """Cutoff growth ``M = max(M, n + n/2)`` (``qmc_ising.rs:786``),
-        quantized to multiples of 16 to bound recompiles."""
+        quantized to multiples of 16 to bound recompiles. Also refreshes the
+        host-tracked cluster label caps (static compaction sizes; the
+        in-jit ``fits`` cond keeps correctness if a chunk outgrows them
+        before the next refresh)."""
         n_max = int(jnp.max(_ops.op_count(self.sse.ops)))
         want = n_max + n_max // 2
         if want > self.cutoff:
             new_m = ((max(want, self.cutoff) + 15) // 16) * 16
             self.sse = self.sse._replace(ops=_ops.grow(self.sse.ops, new_m))
+        nc, nm = _cap_counts(self.sse.ops, self.model)
+        N = self.nvars
+        want_l = max(256, 16 * ((int((int(nc) + N + 2) * 1.3) + 15) // 16))
+        want_e = max(256, 16 * ((int((int(nm) + N + 2) * 1.3) + 15) // 16))
+        cur = self._cluster_caps or (0, 0)
+        if want_l > cur[0] or want_e > cur[1]:
+            self._cluster_caps = (max(want_l, cur[0]), max(want_e, cur[1]))
 
     def _rvb_args(self) -> dict:
+        """Per-sweep keyword args derived from graph state (RVB config and
+        the static cluster label caps)."""
         return dict(
             rvb_tables=self._rvb_tables if self._run_rvb else None,
             n_rvb=(self._rvb_updates or 0) if self._run_rvb else 0,
+            cluster_caps=self._cluster_caps,
         )
 
     def _count_rvb(self, succ, nsweeps: int) -> None:
