@@ -261,6 +261,13 @@ def _build_cluster(key, ops, model, tables: RvbTables, cvar, cpos, cnext, valid,
     cprev = jnp.zeros((M, R), jnp.int32).at[cnext, cols_mr].set(src_mr)
     cprev = jnp.where(valid, cprev, src_mr)
 
+    # Loop-invariant M-minor views for the per-iteration overlap pass (the
+    # lane dim should be the long axis; see CLAUDE.md layout note).
+    cvar_t = cvar.T  # [R, M]
+    valid_t = valid.T
+    seg_s_t = seg_s.T
+    seg_ln_t = seg_ln.T
+
     def body(carry):
         w, popped, remaining, key = carry
         key, k_g = jax.random.split(key)
@@ -303,17 +310,18 @@ def _build_cluster(key, ops, model, tables: RvbTables, cvar, cpos, cnext, valid,
         w = w.at[rows[:, None], tgt].add(
             jnp.where(zmask & ~popped[rows[:, None], tgt], bm, 0.0)
         )
-        # overlapping segments of the neighbors: segment m belongs to some
-        # neighbor direction d iff cvar[m] == ov_safe[r, d]; directions of
-        # one var are distinct, so at most one d matches — sum its weight.
-        ovl = _cyc_overlap(ps[None, :], pln[None, :], seg_s, seg_ln, M)
-        cand_d = (
-            (cvar[:, :, None] == ov_safe[None, :, :])
-            & okd[None, :, :]
-        )  # [M, R, D]
-        add_w = jnp.sum(jnp.where(cand_d, bm[None, :, :], 0.0), axis=2)
-        addm = valid & ovl & ~popped[:, :M].T
-        w = w.at[:, :M].add(jnp.where(addm, add_w, 0.0).T)
+        # overlapping segments of the neighbors, one direction at a time in
+        # [R, M] (M-minor) layout: segment m belongs to direction d iff
+        # cvar[m] == ov_safe[r, d], and directions of one var are distinct,
+        # so at most one d contributes per element — the per-d adds are
+        # exactly the old single fused add (x + 0.0 == x for the weights).
+        ovl_t = _cyc_overlap(ps[:, None], pln[:, None], seg_s_t, seg_ln_t, M)
+        add_t = valid_t & ovl_t & ~popped[:, :M]  # [R, M]
+        wseg = w[:, :M]
+        for d in range(D):
+            cand = add_t & (cvar_t == ov_safe[:, d, None]) & okd[:, d, None]
+            wseg = wseg + jnp.where(cand, bm[:, d, None], 0.0)
+        w = w.at[:, :M].set(wseg)
 
         remaining = remaining - active.astype(jnp.int32)
         return w, popped, remaining, key
