@@ -266,27 +266,31 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
 
     xs_b = tuple(blk(a) for a in xs)  # leaves [C, B, R]
     n_base = jnp.maximum(n0 - W // 2, 0)  # [R]
+    # Candidate axis minor ([B, R, W]): W is the long axis of the pass-1
+    # tensors, so it should occupy the VPU lanes (see CLAUDE.md layout
+    # note); the per-slot inputs broadcast along it.
     cand = jnp.broadcast_to(
-        n_base[None, None, :] + jnp.arange(W, dtype=jnp.int32)[None, :, None],
-        (B, W, R),
+        n_base[None, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :],
+        (B, R, W),
     )
+    bwt_s = bw_tot[:, None] if getattr(bw_tot, "ndim", 0) == 1 else bw_tot
 
     def step1(ncur, xs_c):
-        args = tuple(a[:, None, :] for a in xs_c)  # [B, 1, R]
+        args = tuple(a[:, :, None] for a in xs_c)  # [B, R, 1]
         ins, rem = _ins_rem(
-            ncur, *args, M=M, heatbath=heatbath, bw_tot=bw_tot
+            ncur, *args, M=M, heatbath=heatbath, bw_tot=bwt_s
         )
         return ncur + ins.astype(jnp.int32) - rem.astype(jnp.int32), None
 
-    out_n, _ = jax.lax.scan(step1, cand, xs_b, unroll=unroll)  # [B, W, R]
-
-    rows = jnp.arange(R)
+    out_n, _ = jax.lax.scan(step1, cand, xs_b, unroll=unroll)  # [B, R, W]
 
     def compose(carry, outs_b):
         n_in, bad = carry
         idx = n_in - n_base
         ok = (idx >= 0) & (idx < W)
-        nxt = outs_b[jnp.clip(idx, 0, W - 1), rows]
+        nxt = jnp.take_along_axis(
+            outs_b, jnp.clip(idx, 0, W - 1)[:, None], axis=1
+        )[:, 0]
         return (jnp.where(ok, nxt, n_in), bad | ~ok), n_in
 
     (_, bad), n_starts = jax.lax.scan(
