@@ -26,7 +26,10 @@ from isingmontecarlo_tpu.sse.model import BondModel, generic_model
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsweeps", "do_loops", "do_cluster", "heatbath")
+    jax.jit,
+    static_argnames=(
+        "nsweeps", "do_loops", "do_cluster", "heatbath", "cluster_caps"
+    ),
 )
 def generic_multi_sweep(
     sse: SseState,
@@ -37,6 +40,7 @@ def generic_multi_sweep(
     do_cluster: bool,
     heatbath: bool = False,
     hb=None,
+    cluster_caps: tuple[int, int] | None = None,
 ):
     """``nsweeps`` generic-engine timesteps (``qmc_runner.rs:363-377``:
     diagonal -> optional directed loop -> optional cluster -> free-bit
@@ -52,7 +56,10 @@ def generic_multi_sweep(
         if do_loops:
             ops, state = _loops.loop_update(ops, state, k_l, model)
         if do_cluster:
-            ops, state = _cluster.cluster_update(ops, state, k_c, model)
+            lc, ec = cluster_caps if cluster_caps is not None else (None, None)
+            ops, state = _cluster.cluster_update(
+                ops, state, k_c, model, label_cap=lc, edge_cap=ec
+            )
         new = SseState(ops=ops, state=state, key=key)
         new = resample_free_spins(new, k_f, model)
         return new, _ops.op_count(new.ops)
@@ -94,6 +101,7 @@ class Qmc:
         self.has_cluster_edges = False
         self.breaks_ising_symmetry = False
         self._growth_pending = True  # see QmcIsingGraph.timesteps_measure
+        self._cluster_caps: tuple[int, int] | None = None
         self._model: BondModel | None = None
         self._hb: _diag.HeatBathTables | None = None
         key = jax.random.key(seed)
@@ -210,6 +218,7 @@ class Qmc:
             do_cluster=self.should_do_cluster_update(),
             heatbath=self._do_heatbath,
             hb=self._hb if self._do_heatbath else None,
+            cluster_caps=self._cluster_caps,
         )
         self._maybe_grow()
         return ns
@@ -226,6 +235,22 @@ class Qmc:
         if want > sse.ops.cutoff:
             new_m = ((want + 15) // 16) * 16
             self._sse = sse._replace(ops=_ops.grow(sse.ops, new_m))
+        if self.should_do_cluster_update():
+            from isingmontecarlo_tpu.sse.ising import _cap_counts
+
+            nc, nm = _cap_counts(self._sse.ops, self.model)
+            N = self.nvars
+            want_l = max(
+                256, 16 * ((int((int(nc) + N + 2) * 1.3) + 15) // 16)
+            )
+            want_e = max(
+                256, 16 * ((int((int(nm) + N + 2) * 1.3) + 15) // 16)
+            )
+            cur = self._cluster_caps or (0, 0)
+            if want_l > cur[0] or want_e > cur[1]:
+                self._cluster_caps = (
+                    max(want_l, cur[0]), max(want_e, cur[1])
+                )
 
     def timesteps(self, t: int, beta: float, chunk: int = 16) -> jax.Array:
         """Average energy per replica over ``t`` steps (``qmc_stepper.rs:17``),
