@@ -224,7 +224,7 @@ def bench_suite() -> None:
             f"two_d_heatbath_{L:02d}", lattice.frustrated_square(L, L), 1.0, R,
             heatbath=True,
         )
-    for L in (4, 6):
+    for L in (4, 6, 8):
         n = L * L
         safe(
             f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
@@ -238,9 +238,13 @@ def bench_suite() -> None:
             f"two_d_rvb_cold_{L} (beta=100)", lattice.frustrated_square(L, L),
             100.0, 64, rvb=(n + 1) // 2, warm=10,
         )
-    # Last: this program size intermittently crashes the tunnel's TPU worker
-    # (see CLAUDE.md); running it last keeps the rest of the table intact.
+    # Last: these program sizes intermittently crash the tunnel's TPU worker
+    # (see CLAUDE.md); running them last keeps the rest of the table intact.
     safe("two_d_32", lattice.frustrated_square(32, 32), 1.0, 64)
+    safe(
+        "two_d_heatbath_32", lattice.frustrated_square(32, 32), 1.0, 64,
+        heatbath=True,
+    )
 
 
 def main() -> None:
