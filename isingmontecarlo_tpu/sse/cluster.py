@@ -105,6 +105,55 @@ def _take0_fast(vals, idx):
     return jnp.take_along_axis(vals, idx, axis=0)
 
 
+def _mm_root_stats(logr, frozen, idx, SL: int, chunk=128):
+    """Per-root reductions ``(segment-sum of logr, segment-any of frozen)``
+    keyed by ``idx`` — the MXU replacement for the two per-lane label-space
+    scatters ``zeros.at[idx].add(logr)`` / ``zeros.at[idx].max(frozen)``
+    (TPU scalarizes per-lane scatters to ~75M elements/s; at the 32^2
+    benchmark shape [M=5152, R=64] -> [SL, R] the pair costs several ms).
+
+    One one-hot einsum contracts the M axis for four value planes at once:
+    ``logr`` split into three cascading bf16 residual planes (``hi =
+    bf16(x)``, ``mid = bf16(x - hi)``, ``lo = bf16(x - hi - mid)``; bf16 x
+    bf16 products are exact in f32, and three 8-bit mantissa planes cover a
+    full f32 mantissa, so each term enters the f32 accumulation at ~2^-24
+    relative — the same error class as a reordered f32 scatter-add),
+    ``frozen`` as a 0/1 plane (exact; any == sum > 0). Chunked over replicas
+    like :func:`_mm_take0` so the one-hot stays a fused tile-local operand.
+
+    Returns ``(acc_logr f32[SL, R], acc_frozen bool[SL, R])``."""
+    Mrows, R = idx.shape
+    hi = logr.astype(jnp.bfloat16)
+    r1 = logr - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.stack(
+        [hi, mid, lo, frozen.astype(jnp.bfloat16)], axis=-1
+    )  # [M, R, 4]
+    chunk = min(chunk, R)
+    G = -(-R // chunk)
+    pad = G * chunk - R
+    vc = jnp.pad(
+        jnp.moveaxis(planes, 1, 0), ((0, pad), (0, 0), (0, 0))
+    ).reshape(G, chunk, Mrows, 4)
+    ic = jnp.pad(idx.T, ((0, pad), (0, 0))).reshape(G, chunk, Mrows)
+    iota = jnp.arange(SL, dtype=jnp.int32)
+
+    def step(c, xs):
+        vg, ig = xs  # [chunk, M, 4], [chunk, M]
+        oh = (ig[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+        y = jnp.einsum(
+            "cms,cmd->csd", oh, vg, preferred_element_type=jnp.float32
+        )
+        return c, y
+
+    _, out = jax.lax.scan(step, None, (vc, ic))
+    out = out.reshape(G * chunk, SL, 4)[:R]  # [R, SL, 4]
+    acc_logr = (out[..., 0] + out[..., 1] + out[..., 2]).T
+    acc_frozen = out[..., 3].T > 0.0
+    return acc_logr, acc_frozen
+
+
 # Footprint gate for the one-hot wrap-edge einsum: it materializes a
 # [K*M, R, N] bf16 one-hot; beyond this the legacy scatter path runs. Both
 # the segment ids and flat leg indices must also fit two base-128 bf16
@@ -112,6 +161,10 @@ def _take0_fast(vals, idx):
 _WRAP_EINSUM_MAX = 1 << 26
 
 _SORT_BIG = jnp.int32(2**30)
+
+# Test hook: force the MXU root-stats path on (True) or off (False); None =
+# auto (TPU backend and label space under the one-hot breakeven).
+_FORCE_MM_STATS = None
 
 
 class SegGraph(NamedTuple):
@@ -439,8 +492,20 @@ def cluster_update(
         ratio = jnp.where(both_sides, w_flip / jnp.maximum(w_cur, 1e-30), 1.0)
         frozen = both_sides & (w_flip <= 0.0)
         logr = jnp.where(both_sides, jnp.log(jnp.maximum(ratio, 1e-30)), 0.0)
-        acc_logr = jnp.zeros((SL, R), jnp.float32).at[lab_in, rows_m].add(logr)
-        acc_frozen = jnp.zeros((SL, R), bool).at[lab_in, rows_m].max(frozen)
+        use_mm = (
+            jax.default_backend() == "tpu" and SL <= 8192
+            if _FORCE_MM_STATS is None
+            else _FORCE_MM_STATS
+        )
+        if use_mm:
+            acc_logr, acc_frozen = _mm_root_stats(logr, frozen, lab_in, SL)
+        else:
+            acc_logr = (
+                jnp.zeros((SL, R), jnp.float32).at[lab_in, rows_m].add(logr)
+            )
+            acc_frozen = (
+                jnp.zeros((SL, R), bool).at[lab_in, rows_m].max(frozen)
+            )
         flip_prob = jnp.minimum(prob * jnp.exp(acc_logr), 1.0)
         u_root = jax.random.uniform(k_u, (SL, R))
         flip_root = (u_root < flip_prob) & ~acc_frozen  # [SL, R] per root

@@ -85,11 +85,12 @@ _FORCE_PACKED = None
 # this many slots the block-speculative evaluation (see _carry_scan_spec) is
 # used. Test hook: set to small/huge to force the branch on/off.
 _SPEC_MIN_M = 2048
-# Candidate window half-width for the speculative carry: the op count at any
-# block boundary must stay within +-_SPEC_WINDOW/2 of the sweep's starting
-# count, else the exact sequential fallback runs (n fluctuates ~ sqrt(n) in
-# equilibrium, so overflow is a cold-start phenomenon).
-_SPEC_WINDOW = 512
+# Candidate window half-width for the speculative carry: the TRUE op count
+# at each block boundary must stay within +-_SPEC_WINDOW/2 of the frozen-n
+# estimate (see _carry_scan_spec pass 0), else the exact sequential fallback
+# runs. The estimate tracks the sweep-long drift of n, so the window only
+# covers the estimate's error — much tighter than the drift itself.
+_SPEC_WINDOW = 128
 _SPEC_BLOCK = 128
 
 
@@ -242,16 +243,20 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
 
     The only sequential dependence left in the fast path is the op count
     ``n``: every slot's insert/remove decision is a function of ``n`` and
-    precomputed per-slot data. Evaluate blocks of ``_SPEC_BLOCK`` slots at
-    ``_SPEC_WINDOW`` candidate incoming counts in parallel (pass 1, all
-    blocks at once), thread the true block-entry counts through a tiny
-    per-block compose scan, then re-run every block at its true entry count
-    (pass 2, all blocks in parallel) to emit the decisions. Sequential depth
-    drops from M to 2*_SPEC_BLOCK + M/_SPEC_BLOCK. Decisions are
-    bit-identical to the sequential scan (same :func:`_ins_rem` floats at
-    the same integer counts); if any block-entry count leaves the candidate
-    window the ``bad`` flag is returned and the caller falls back to the
-    sequential scan.
+    precomputed per-slot data. Pass 0 evaluates every slot's decision at the
+    frozen sweep-start count ``n0`` (fully parallel) and prefix-sums the
+    deltas into a per-block-entry *estimate* of ``n`` — the estimate tracks
+    the sweep-long drift, so the candidate window per block only has to
+    cover the estimate's error, not the drift. Pass 1 evaluates blocks of
+    ``_SPEC_BLOCK`` slots at ``_SPEC_WINDOW`` candidate incoming counts
+    centered on each block's estimate (all blocks in parallel), a tiny
+    per-block compose scan threads the true entry counts, and pass 2 re-runs
+    every block at its true entry count (all blocks in parallel) to emit the
+    decisions. Sequential depth drops from M to 2*_SPEC_BLOCK +
+    M/_SPEC_BLOCK. Decisions are bit-identical to the sequential scan (same
+    :func:`_ins_rem` floats at the same integer counts); if any true
+    block-entry count leaves its candidate window the ``bad`` flag is
+    returned and the caller falls back to the sequential scan.
 
     Returns ``(insert bool[M, R], remove bool[M, R], bad bool[])``.
     """
@@ -265,14 +270,24 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
         return jnp.pad(a, ((0, pad), (0, 0))).reshape(B, C, R).swapaxes(0, 1)
 
     xs_b = tuple(blk(a) for a in xs)  # leaves [C, B, R]
-    n_base = jnp.maximum(n0 - W // 2, 0)  # [R]
+
+    # Pass 0: frozen-n decisions for all M slots at once -> estimated entry
+    # count per block (exclusive prefix of the per-slot deltas).
+    ins0, rem0 = _ins_rem(
+        jnp.broadcast_to(n0[None, :], (M, R)), *xs,
+        M=M, heatbath=heatbath, bw_tot=bw_tot,
+    )
+    delta = ins0.astype(jnp.int32) - rem0.astype(jnp.int32)  # [M, R]
+    cum = jnp.cumsum(delta, axis=0)
+    n_est = n0[None, :] + jnp.concatenate(
+        [jnp.zeros((1, R), jnp.int32), cum[:-1]], axis=0
+    )  # [M, R] estimated count entering each slot
+    n_base = jnp.maximum(n_est[::C] - W // 2, 0)  # [B, R] per-block base
+
     # Candidate axis minor ([B, R, W]): W is the long axis of the pass-1
     # tensors, so it should occupy the VPU lanes (see CLAUDE.md layout
     # note); the per-slot inputs broadcast along it.
-    cand = jnp.broadcast_to(
-        n_base[None, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :],
-        (B, R, W),
-    )
+    cand = n_base[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
     bwt_s = bw_tot[:, None] if getattr(bw_tot, "ndim", 0) == 1 else bw_tot
 
     def step1(ncur, xs_c):
@@ -284,9 +299,10 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
 
     out_n, _ = jax.lax.scan(step1, cand, xs_b, unroll=unroll)  # [B, R, W]
 
-    def compose(carry, outs_b):
+    def compose(carry, xs_c):
+        outs_b, base_b = xs_c
         n_in, bad = carry
-        idx = n_in - n_base
+        idx = n_in - base_b
         ok = (idx >= 0) & (idx < W)
         nxt = jnp.take_along_axis(
             outs_b, jnp.clip(idx, 0, W - 1)[:, None], axis=1
@@ -294,7 +310,7 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
         return (jnp.where(ok, nxt, n_in), bad | ~ok), n_in
 
     (_, bad), n_starts = jax.lax.scan(
-        compose, (n0, jnp.zeros((R,), bool)), out_n
+        compose, (n0, jnp.zeros((R,), bool)), (out_n, n_base)
     )  # n_starts [B, R]
 
     def step2(ncur, xs_c):
