@@ -302,23 +302,41 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
         vw = jnp.where(has_head, out[..., 3] * 128 + out[..., 4], S - 1)
         head_f = jnp.where(has_head, out[..., 5] * 128 + out[..., 6], KM)
     else:
-        cols = jnp.broadcast_to(
-            jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R)
+        # Sort-compacted fallback (runs beyond the einsum gate, e.g. 32^2):
+        # heads/tails are already ordered by variable in sorted leg space
+        # (one head and one tail per worldline group), so a sort keyed on
+        # (is_head ? var : BIG) packs the <= N head rows to the front in var
+        # order; the dense-by-var placement then scatters only [T, R] rows
+        # (T = min(N, KM)) instead of the full [KM, R] grid — per-lane TPU
+        # scatters cost ~linear in grid elements, and this cuts the grid
+        # 2K*M/N-fold (measured: the three [KM, R] scatters were ~the whole
+        # segment-build cost at 32^2). Multi-operand sort payloads are
+        # nearly free (see CLAUDE.md), so the two sorts cost ~1 ms each.
+        T = min(N, KM)
+        cols_t = jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, :], (T, R)
         )
+        kh, d_in, d_order = jax.lax.sort(
+            (jnp.where(head, svar, _SORT_BIG), seg_in_j, order),
+            dimension=0, num_keys=1,
+        )
+        kt, d_out = jax.lax.sort(
+            (jnp.where(tail, svar, _SORT_BIG), seg_out_j),
+            dimension=0, num_keys=1,
+        )
+        vh = jnp.where(kh[:T] < _SORT_BIG, kh[:T], N)  # [T, R]
+        vt = jnp.where(kt[:T] < _SORT_BIG, kt[:T], N)
         uw = (
-            jnp.full((N, R), S - 1, jnp.int32)
-            .at[jnp.where(head, svar, N), cols]
-            .set(seg_in_j, mode="drop")
+            jnp.full((N + 1, R), S - 1, jnp.int32)
+            .at[vh, cols_t].set(d_in[:T], mode="drop")[:N]
         )
         vw = (
-            jnp.full((N, R), S - 1, jnp.int32)
-            .at[jnp.where(tail, svar, N), cols]
-            .set(seg_out_j, mode="drop")
+            jnp.full((N + 1, R), S - 1, jnp.int32)
+            .at[vt, cols_t].set(d_out[:T], mode="drop")[:N]
         )
         head_f = (
-            jnp.full((N, R), KM, jnp.int32)
-            .at[jnp.where(head, svar, N), cols]
-            .set(order, mode="drop")
+            jnp.full((N + 1, R), KM, jnp.int32)
+            .at[vh, cols_t].set(d_order[:T], mode="drop")[:N]
         )
     u = jnp.concatenate(us + [uw], axis=0)
     v = jnp.concatenate(vs + [vw], axis=0)
