@@ -475,10 +475,27 @@ def cluster_update(
     model's weight tables so the same kernel serves symmetric models
     (ratio identically 1).
     """
+    sg = segment_graph(ops, model)
+    return _cluster_update_impl(
+        ops, state, key, model, prob, label_cap, edge_cap, sg
+    )
+
+
+def _cluster_update_impl(
+    ops: OpString,
+    state: jax.Array,
+    key: jax.Array,
+    model: BondModel,
+    prob: float,
+    label_cap: int | None,
+    edge_cap: int | None,
+    sg: SegGraph,
+) -> tuple[OpString, jax.Array]:
+    """:func:`cluster_update` body given a precomputed :func:`segment_graph`
+    (callers that also need per-variable leg info — e.g. the sweep driver's
+    free-spin resampling reading ``sg.head_f`` — share one build)."""
     M, R = ops.bond.shape
     K = ops.max_legs
-
-    sg = segment_graph(ops, model)
     S = sg.S
 
     k_u = jax.random.fold_in(key, 0)

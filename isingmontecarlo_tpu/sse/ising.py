@@ -41,16 +41,27 @@ class SseState(NamedTuple):
 
 
 def resample_free_spins(
-    sse: SseState, key: jax.Array, model: BondModel
+    sse: SseState, key: jax.Array, model: BondModel,
+    has_op: jax.Array | None = None,
 ) -> SseState:
-    """Spins with no ops are resampled uniformly (``qmc_ising.rs:780-784``)."""
+    """Spins with no ops are resampled uniformly (``qmc_ising.rs:780-784``).
+
+    ``has_op: bool[R, N]`` can be passed by callers that already know the
+    per-variable occupation (the sweep driver reads it off the cluster
+    update's segment graph for free); otherwise it is derived here with a
+    per-lane scatter over all legs."""
     R = sse.state.shape[0]
-    vars_ = _ops.op_vars(sse.ops, model)  # [K, M, R]
-    K, M, _ = vars_.shape
-    has_op = jnp.zeros((R, model.nvars), bool)
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, None, :], vars_.shape)
-    idx = jnp.where(vars_ >= 0, vars_, model.nvars)
-    has_op = has_op.at[cols.reshape(-1), idx.reshape(-1)].set(True, mode="drop")
+    if has_op is None:
+        vars_ = _ops.op_vars(sse.ops, model)  # [K, M, R]
+        K, M, _ = vars_.shape
+        has_op = jnp.zeros((R, model.nvars), bool)
+        cols = jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, None, :], vars_.shape
+        )
+        idx = jnp.where(vars_ >= 0, vars_, model.nvars)
+        has_op = has_op.at[cols.reshape(-1), idx.reshape(-1)].set(
+            True, mode="drop"
+        )
     fresh = jax.random.bernoulli(key, 0.5, sse.state.shape)
     return sse._replace(state=jnp.where(has_op, sse.state, fresh))
 
@@ -87,11 +98,16 @@ def sweep(
     else:
         succ = jnp.zeros((state.shape[0],), jnp.int32)
     lc, ec = cluster_caps if cluster_caps is not None else (None, None)
-    ops, state = _cluster.cluster_update(
-        ops, state, k_clust, model, label_cap=lc, edge_cap=ec
+    # One segment-graph build serves the cluster update AND the free-spin
+    # resampling (a var has ops iff its worldline has a head leg; cluster
+    # flips never move ops, so the map stays valid for the new string).
+    sg = _cluster.segment_graph(ops, model)
+    has_op = (sg.head_f < ops.max_legs * ops.bond.shape[0]).T  # [R, N]
+    ops, state = _cluster._cluster_update_impl(
+        ops, state, k_clust, model, 0.5, lc, ec, sg
     )
     sse = SseState(ops=ops, state=state, key=key)
-    return resample_free_spins(sse, k_free, model), succ
+    return resample_free_spins(sse, k_free, model, has_op=has_op), succ
 
 
 @functools.partial(

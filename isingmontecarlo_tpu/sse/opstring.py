@@ -169,10 +169,14 @@ def worldline_maps(ops: OpString, model: BondModel):
     tgt_next = jnp.take_along_axis(order, next_pos, axis=0)
     tgt_prev = jnp.take_along_axis(order, prev_pos, axis=0)
 
-    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (KM, R))
+    # Back-permute to flat leg space with a sort keyed by the permutation
+    # (order is a bijection, so payload row j lands at row order[j]) — one
+    # multi-operand sort instead of two per-lane [KM, R] scatters, which TPU
+    # scalarizes (~linear in grid elements; see CLAUDE.md sort note).
     self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
-    wnext = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_next)
-    wprev = jnp.zeros((KM, R), jnp.int32).at[order, cols].set(tgt_prev)
+    _, wnext, wprev = jax.lax.sort(
+        (order, tgt_next, tgt_prev), dimension=0, num_keys=1
+    )
     wnext = jnp.where(leg_var >= 0, wnext, self_f)
     wprev = jnp.where(leg_var >= 0, wprev, self_f)
     return wnext, wprev, leg_var, (order, svar, seg_start)
