@@ -343,25 +343,34 @@ def _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid):
     ``remove_doubles`` parity)."""
     M, R = ops.bond.shape
     N = model.nvars
-    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
 
     pf = popped[:, :M].T & valid  # [M, R] popped flip elements
     s = cpos
     e = _take0(cpos, cnext)
 
+    # At most MAX_POPS elements are popped per replica (one per pop
+    # iteration of _build_cluster), so the toggle/wrap contributors compact
+    # into [MAX_POPS, R] via a sort — the parity scatters then touch 16-row
+    # grids instead of [M, R] ones (TPU per-lane scatters cost ~linear in
+    # grid elements). Unpopped rows sort to _BIG and drop as out-of-bounds.
+    # Bit-identical: the dropped rows contributed 0 before.
+    T = min(MAX_POPS, M)
+    cols_p = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (T, R))
+    s_pop = jax.lax.sort(jnp.where(pf, s, _BIG), dimension=0)[:T]
+    e_pop = jax.lax.sort(jnp.where(pf, e, _BIG), dimension=0)[:T]
+
     # Toggle parity at segment start and end positions.
     cnt = jnp.zeros((M, R), jnp.int32)
-    cnt = cnt.at[s, rows].add(pf.astype(jnp.int32))
-    cnt = cnt.at[e, rows].add(pf.astype(jnp.int32))
+    cnt = cnt.at[s_pop, cols_p].add(1, mode="drop")
+    cnt = cnt.at[e_pop, cols_p].add(1, mode="drop")
     is_toggle = (cnt % 2) == 1
 
     # p=0 membership: wrapping segments (e <= s) plus whole-worldline vars.
-    wrap = pf & (e <= s)
-    icnt = jnp.zeros((R, N + 1), jnp.int32)
-    icnt = icnt.at[rows.ravel(), cvar.ravel()].add(
-        wrap.ravel().astype(jnp.int32), mode="drop"
-    )
-    in0 = (icnt[:, :N] % 2) == 1
+    w_pop = jax.lax.sort(
+        jnp.where(pf & (e <= s), cvar, _BIG), dimension=0
+    )[:T]
+    icnt = jnp.zeros((R, N), jnp.int32).at[cols_p, w_pop].add(1, mode="drop")
+    in0 = (icnt % 2) == 1
     in0 = in0 | popped[:, M:]
     return in0, is_toggle
 
