@@ -192,11 +192,19 @@ def _const_inventory(ops: OpString, model: BondModel):
     cnext = jnp.where(valid, cnext, j)
 
     ncount = jnp.sum(valid, axis=0).astype(jnp.int32)
-    has_const = jnp.zeros((R, model.nvars + 1), bool)
-    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
-    has_const = has_const.at[rows.ravel(), cvar.ravel()].max(
-        valid.ravel(), mode="drop"
-    )[:, : model.nvars]
+    # has_const: vars with >= 1 constant op == the distinct cvar values, i.e.
+    # the var-group heads of the (already sorted) cvar column. Sort-compact
+    # the <= min(N, M) head rows and scatter only those — the full [M, R]
+    # ravel scatter scalarizes on TPU at ~linear cost in grid elements.
+    Tc = min(model.nvars, M)
+    head_v = jax.lax.sort(
+        jnp.where(seg_start & valid, cvar, _BIG), dimension=0
+    )[:Tc]
+    cols_c = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (Tc, R))
+    has_const = (
+        jnp.zeros((R, model.nvars), bool)
+        .at[cols_c, head_v].set(True, mode="drop")
+    )
     return cvar, cpos, cnext, valid, ncount, has_const
 
 
