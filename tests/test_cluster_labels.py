@@ -171,6 +171,35 @@ def test_cluster_update_mm_stats_chain(monkeypatch):
     assert bool(jnp.all(ok))
 
 
+def test_head_f_has_op_matches_leg_scatter():
+    """The sweep driver derives the free-spin occupation map from the
+    segment graph (``head_f < K*M``); it must equal the per-leg scatter that
+    ``resample_free_spins`` builds when no map is passed."""
+    import jax
+
+    from isingmontecarlo_tpu.sse import opstring as _ops
+
+    edges = lattice.frustrated_square(3, 3)
+    # Low transverse field + tiny beta leaves some vars op-free.
+    g = QmcIsingGraph(edges, transverse=0.2, replicas=8, seed=13)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(0.05), g.model, 6)
+    ops, model = g.sse.ops, g.model
+
+    sg = _cluster.segment_graph(ops, model)
+    KM = ops.max_legs * ops.bond.shape[0]
+    has_op_sg = np.asarray((sg.head_f < KM).T)
+
+    vars_ = _ops.op_vars(ops, model)
+    ref = np.zeros((ops.replicas, model.nvars), bool)
+    v = np.asarray(vars_)
+    for r in range(ops.replicas):
+        for val in v[:, :, r].ravel():
+            if val >= 0:
+                ref[r, val] = True
+    assert not ref.all(), "test needs at least one op-free var"
+    assert np.array_equal(has_op_sg, ref)
+
+
 def test_wrap_einsum_matches_scatter_fallback(monkeypatch):
     """``segment_graph``'s wrap-edge/head-index digit-plane einsum branch
     must equal the scatter fallback (which production only reaches at
