@@ -55,13 +55,19 @@ def generic_multi_sweep(
         state = sse.state
         if do_loops:
             ops, state = _loops.loop_update(ops, state, k_l, model)
+        has_op = None
         if do_cluster:
             lc, ec = cluster_caps if cluster_caps is not None else (None, None)
-            ops, state = _cluster.cluster_update(
-                ops, state, k_c, model, label_cap=lc, edge_cap=ec
+            # One segment-graph build serves the cluster update and the
+            # free-bit resample (see ising.sweep): cluster flips never move
+            # ops, so the per-var occupation stays valid.
+            sg = _cluster.segment_graph(ops, model)
+            has_op = (sg.head_f < ops.max_legs * ops.bond.shape[0]).T
+            ops, state = _cluster._cluster_update_impl(
+                ops, state, k_c, model, 0.5, lc, ec, sg
             )
         new = SseState(ops=ops, state=state, key=key)
-        new = resample_free_spins(new, k_f, model)
+        new = resample_free_spins(new, k_f, model, has_op=has_op)
         return new, _ops.op_count(new.ops)
 
     return jax.lax.scan(body, sse, None, length=nsweeps)
