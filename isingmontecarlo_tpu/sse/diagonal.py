@@ -271,17 +271,22 @@ def _carry_scan_spec(n0, xs, M, heatbath, bw_tot, unroll):
 
     xs_b = tuple(blk(a) for a in xs)  # leaves [C, B, R]
 
-    # Pass 0: frozen-n decisions for all M slots at once -> estimated entry
-    # count per block (exclusive prefix of the per-slot deltas).
-    ins0, rem0 = _ins_rem(
-        jnp.broadcast_to(n0[None, :], (M, R)), *xs,
-        M=M, heatbath=heatbath, bw_tot=bw_tot,
-    )
-    delta = ins0.astype(jnp.int32) - rem0.astype(jnp.int32)  # [M, R]
-    cum = jnp.cumsum(delta, axis=0)
-    n_est = n0[None, :] + jnp.concatenate(
-        [jnp.zeros((1, R), jnp.int32), cum[:-1]], axis=0
-    )  # [M, R] estimated count entering each slot
+    # Pass 0: parallel decision estimates for all M slots -> estimated entry
+    # count per block (exclusive prefix of the per-slot deltas). Round 1
+    # evaluates every slot at the frozen sweep-start count n0; round 2
+    # re-evaluates at round 1's estimated trajectory, collapsing most of the
+    # frozen-count error — two cheap [M, R] passes that let the candidate
+    # window stay narrow.
+    n_est = jnp.broadcast_to(n0[None, :], (M, R))
+    for _ in range(2):
+        ins0, rem0 = _ins_rem(
+            n_est, *xs, M=M, heatbath=heatbath, bw_tot=bw_tot
+        )
+        delta = ins0.astype(jnp.int32) - rem0.astype(jnp.int32)  # [M, R]
+        cum = jnp.cumsum(delta, axis=0)
+        n_est = n0[None, :] + jnp.concatenate(
+            [jnp.zeros((1, R), jnp.int32), cum[:-1]], axis=0
+        )  # [M, R] estimated count entering each slot
     n_base = jnp.maximum(n_est[::C] - W // 2, 0)  # [B, R] per-block base
 
     # Candidate axis minor ([B, R, W]): W is the long axis of the pass-1
