@@ -263,10 +263,12 @@ def _build_cluster(key, ops, model, tables: RvbTables, cvar, cpos, cnext, valid,
     w0 = jnp.zeros((R, M + N), jnp.float32).at[rows, seed_elem].set(1.0)
     popped0 = jnp.zeros((R, M + N), bool)
 
-    # Cyclic-previous within var groups: prev[cnext[i]] = i.
-    cols_mr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
+    # Cyclic-previous within var groups: prev[cnext[i]] = i. cnext is a
+    # permutation (cycles within var groups, self-maps on padding), so the
+    # inverse is one sort keyed by it — payload i lands at row cnext[i] —
+    # instead of a per-lane [M, R] scatter (see CLAUDE.md sort note).
     src_mr = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], (M, R))
-    cprev = jnp.zeros((M, R), jnp.int32).at[cnext, cols_mr].set(src_mr)
+    _, cprev = jax.lax.sort((cnext, src_mr), dimension=0, num_keys=1)
     cprev = jnp.where(valid, cprev, src_mr)
 
     # Loop-invariant M-minor views for the per-iteration overlap pass (the
