@@ -1,12 +1,11 @@
 #!/usr/bin/env python
 """Component breakdown for the 32^2 SSE sweep on TPU (roadmap #1 baseline).
 
-Times, with marginal-rate methodology (vary inputs, force readback):
-  - diagonal_update
-  - worldline_maps (the sort)
-  - cluster_labels (the propagation loop)
-  - cluster_update (labels + flips + state rebuild)
-  - full sweep
+Marginal methodology (see CLAUDE.md): each component is iterated inside ONE
+jitted lax.scan whose body depends on the loop index (so XLA cannot hoist
+it), timed at two loop lengths, and the difference quotient removes the
+~28 ms per-dispatch tunnel latency that would otherwise inflate every
+single-call number. Usage: python scripts/profile_32.py [L] [R]
 """
 import sys
 import time
@@ -42,53 +41,63 @@ ops0 = sse.ops
 state0 = sse.state
 
 
-def timed(name, fn, reps=3):
-    # warm/compile
-    fn(0)
-    best = float("inf")
-    for r in range(1, reps + 1):
-        t0 = time.perf_counter()
-        fn(r)
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:<24} {best*1e3:9.1f} ms")
-    return best
+def marginal(name, body, n1=2, n2=6):
+    """body(c: f32, i: i32) -> f32 runs the component once."""
+
+    def mk(n):
+        @jax.jit
+        def run(r):
+            def step(c, i):
+                return body(c, i + r).astype(jnp.float32), None
+            out, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return out
+        return lambda r: run(jnp.int32(r * 131))
+
+    f1, f2 = mk(n1), mk(n2)
+    f1(0), f2(0)  # compile
+    float(f1(1)), float(f2(1))
+
+    def best(f):
+        b = 1e9
+        for r in range(2, 6):
+            t0 = time.perf_counter()
+            float(f(r))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    per = (best(f2) - best(f1)) / (n2 - n1)
+    print(f"{name:<24} {per*1e3:9.1f} ms")
+    return per
 
 
-@jax.jit
-def f_diag(ops, state, key):
-    o = _diag.diagonal_update(ops, state, beta, key, model)
-    return jnp.sum(o.bond)
+marginal("diagonal_update", lambda c, i: c + jnp.sum(_diag.diagonal_update(
+    ops0, state0, beta, jax.random.key(i), model).bond))
 
 
-@jax.jit
-def f_maps(ops, x):
+def _maps_body(c, i):
     wnext, wprev, leg_var, (order, svar, seg_start) = _ops.worldline_maps(
-        ops._replace(bond=ops.bond + x - x), model)
-    return jnp.sum(wnext) + jnp.sum(order)
+        ops0._replace(bond=ops0.bond + (i >> 30)), model)
+    return c + jnp.sum(wnext) + jnp.sum(order)
 
 
-@jax.jit
-def f_labels(ops, x):
-    o = ops._replace(bond=ops.bond + x - x)
-    labels = _cluster.cluster_labels(o, model)
-    return jnp.sum(labels)
+marginal("worldline_maps", _maps_body)
+
+marginal("maps+cluster_labels", lambda c, i: c + jnp.sum(
+    _cluster.cluster_labels(ops0._replace(bond=ops0.bond + (i >> 30)), model)))
 
 
-@jax.jit
-def f_cluster(ops, state, key):
-    o, s = _cluster.cluster_update(ops, state, key, model)
-    return jnp.sum(o.bond) + jnp.sum(s)
+def _cl_body(c, i):
+    o, s = _cluster.cluster_update(ops0, state0, jax.random.key(i), model)
+    return c + jnp.sum(o.bond) + jnp.sum(s)
 
 
-@jax.jit
-def f_sweep(sse):
-    new, _ = sweep(sse, beta, model)
-    return jnp.sum(new.ops.bond) + jnp.sum(new.state)
+marginal("cluster_update", _cl_body)
 
 
-timed("diagonal_update", lambda r: float(f_diag(ops0, state0, jax.random.key(r))))
-timed("worldline_maps", lambda r: float(f_maps(ops0, jnp.int32(r))))
-timed("maps+cluster_labels", lambda r: float(f_labels(ops0, jnp.int32(r))))
-timed("cluster_update", lambda r: float(f_cluster(ops0, state0, jax.random.key(r))))
-timed("full sweep", lambda r: float(f_sweep(sse._replace(key=jax.random.key(r)))))
+def _sweep_body(c, i):
+    new, _ = sweep(sse._replace(key=jax.random.key(i)), beta, model)
+    return c + jnp.sum(new.ops.bond) + jnp.sum(new.state)
+
+
+marginal("full sweep", _sweep_body)
 print(f"cutoff={g.cutoff}")
