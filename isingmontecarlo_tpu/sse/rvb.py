@@ -61,8 +61,8 @@ MAX_POPS = 16
 
 # Element-count gate for the vectorized acceptance+mutation path: it
 # materializes [M, R, NE] f32 and [M, R, K, N] one-hot tensors, so cap the
-# footprint (elements of the largest tensor) and fall back to the sequential
-# scan beyond it.
+# footprint (elements of the largest tensor); beyond it the chunked
+# vectorized path runs at this footprint per chunk (see _fused_chunked).
 _VEC_MAX_ELEMS = 1 << 26
 
 # Test hook: force the vectorized path on (True) or off (False); None = auto
@@ -784,7 +784,7 @@ def _fused_scan(ops, state, model, tables, in0, is_toggle, key):
     return p_acc, nb, ni, no
 
 
-def _event_parity(v_idx, ev, base):
+def _event_parity(v_idx, ev, base, return_total=False):
     """Exclusive-prefix XOR parity of per-slot toggle events along imaginary
     time, seeded with ``base``.
 
@@ -831,10 +831,17 @@ def _event_parity(v_idx, ev, base):
     blk = jnp.cumsum(tot, axis=0) - tot  # exclusive block prefix
     cnt = (within + blk[:, None]).astype(jnp.int32)
     par = ((cnt & 1) == 1).reshape(B * C, R, N)[:M]
+    if return_total:
+        # Parity just *past* the last slot (all events applied) — the carry
+        # a chunked caller threads into the next chunk's ``base``.
+        tcnt = jnp.sum(tot, axis=0).astype(jnp.int32)  # [R, N]
+        total = (((tcnt & 1) == 1)) ^ base
+        return par ^ base[None], total
     return par ^ base[None]
 
 
-def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
+def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
+                      gumbels=None, want_carry=False):
     """Acceptance + candidate mutation with NO sequential scan.
 
     The key observation about :func:`_fused_scan`: its carry ``(substate,
@@ -859,6 +866,12 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     (measured 4.4x slower for a 30-op chain at [1408, 64, 32] vs
     [64, 32, 1408]). The parity pass stays in its MXU-friendly form and is
     transposed once.
+
+    ``gumbels`` optionally injects the rotation noise ``f32[M, R, NE]``
+    (``None`` = draw from ``key``); ``want_carry=True`` returns the raw
+    log-acceptance and the propagated ``(substate, incl)`` past the last
+    slot — the chunked caller's carry (:func:`_fused_chunked`) — instead of
+    ``p_acc``.
     """
     M, R = ops.bond.shape
     K = ops.max_legs
@@ -912,9 +925,11 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
         ],
         axis=1,
     )
-    par2 = _event_parity(
-        v2, ev2, jnp.concatenate([state, in0], axis=0)
-    )  # [M, 2R, N]
+    base2 = jnp.concatenate([state, in0], axis=0)
+    if want_carry:
+        par2, end2 = _event_parity(v2, ev2, base2, return_total=True)
+    else:
+        par2 = _event_parity(v2, ev2, base2)  # [M, 2R, N]
     par2_t = jnp.moveaxis(par2, 0, -1)  # [2R, N, M] (one relayout pass)
 
     # bf16 one-hot matmuls are exact for 0/1 operands and ride the MXU, but
@@ -1015,12 +1030,13 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
         - jnp.log(jnp.maximum(w_cur, _TINY)),
         0.0,
     )
-    p_acc = jnp.minimum(jnp.exp(jnp.sum(logm_slot, axis=1)), 1.0)
+    logm = jnp.sum(logm_slot, axis=1)
 
     # --- candidate mutation (assume accepted; rvb.rs:294-615) --------------
     # Same [M, R, NE] gumbel draw as _fused_scan (transposed, not redrawn,
     # so the rotation choices stay bit-identical).
-    g = jnp.transpose(jax.random.gumbel(key, (M, R, ne)), (1, 2, 0))
+    raw_g = jax.random.gumbel(key, (M, R, ne)) if gumbels is None else gumbels
+    g = jnp.transpose(raw_g, (1, 2, 0))
     score = jnp.where(w_aft > 0, jnp.log(jnp.maximum(w_aft, _TINY)) + g, -jnp.inf)
     b_new = jnp.argmax(score, axis=1).astype(jnp.int32)  # [R, M]
     oh_rot = (
@@ -1054,12 +1070,114 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key):
     new_in = jnp.where(do_flip_sym[None] & leg_ok_t, ~new_in, new_in)
     new_out = jnp.where(do_flip_sym[None] & leg_ok_t, ~new_out, new_out)
 
-    return (
-        p_acc,
+    cands = (
         new_bond.T,
         jnp.moveaxis(new_in, 2, 1),
         jnp.moveaxis(new_out, 2, 1),
     )
+    if want_carry:
+        return (logm,) + cands + (end2[:R], end2[R:])
+    return (jnp.minimum(jnp.exp(logm), 1.0),) + cands
+
+
+def _fused_chunked(ops, state, model, tables, in0, is_toggle, key, *, mc,
+                   gumbels=None):
+    """:func:`_fused_vectorized` in imaginary-time chunks of ``mc`` slots.
+
+    Beyond the vectorized path's footprint gate the legacy fallback was the
+    per-slot sequential scan (:func:`_fused_scan`) — intractable at the
+    reference's large RVB benchmark sizes (``two_d_rvb_{16,32}``,
+    ``two_d_rvb_cold_{6..8}``, ``benches/end_to_end.rs:260-429``), where the
+    cutoff reaches tens of thousands of slots. This path runs one
+    ``lax.scan`` over ``ceil(M / mc)`` chunks, carrying exactly the
+    invariants the vectorized pass derives from its p=0 base — the
+    propagated worldline substate, the cluster-membership mask, and the
+    accumulated log acceptance weight — so each chunk gets the full
+    vectorized treatment at a bounded ``mc x R x NE`` footprint and the
+    sequential depth drops from ``M`` to ``M / mc``.
+
+    Identical discrete arithmetic to the vectorized pass given the same
+    rotation noise (the chunk-boundary carry equals the parities the one-shot
+    pass computes at those slots — asserted bitwise in
+    ``tests/test_rvb_fused.py``); production draws per-chunk noise from
+    ``fold_in(key, chunk)``, which only re-keys the i.i.d. Gumbel rotation
+    sampler (acceptance never reads the noise; rotation targets stay
+    weight-distributed, matching ``mutate_graph``'s on-accept sampling,
+    ``rvb.rs:413-434``). Padding slots are identity (``bond = -1``) and
+    contribute nothing.
+    """
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    ne = tables.nedges
+    C = -(-M // mc)
+    pad = C * mc - M
+
+    bond_c = jnp.pad(ops.bond, ((0, pad), (0, 0)), constant_values=-1)
+    bond_c = bond_c.reshape(C, mc, R)
+    in_c = jnp.moveaxis(
+        jnp.pad(ops.inputs, ((0, 0), (0, pad), (0, 0))).reshape(K, C, mc, R),
+        1, 0,
+    )  # [C, K, mc, R]
+    out_c = jnp.moveaxis(
+        jnp.pad(ops.outputs, ((0, 0), (0, pad), (0, 0))).reshape(K, C, mc, R),
+        1, 0,
+    )
+    tog_c = jnp.pad(is_toggle, ((0, pad), (0, 0))).reshape(C, mc, R)
+
+    xs = (bond_c, in_c, out_c, tog_c, jnp.arange(C, dtype=jnp.int32))
+    if gumbels is not None:
+        xs = xs + (
+            jnp.pad(gumbels, ((0, pad), (0, 0), (0, 0))).reshape(
+                C, mc, R, ne
+            ),
+        )
+
+    def body(carry, xs_c):
+        sub, incl, logm = carry
+        if gumbels is not None:
+            bond_k, in_k, out_k, tog_k, c, g_k = xs_c
+        else:
+            bond_k, in_k, out_k, tog_k, c = xs_c
+            g_k = jax.random.gumbel(
+                jax.random.fold_in(key, c), (mc, R, ne)
+            )
+        chunk = OpString(bond=bond_k, inputs=in_k, outputs=out_k)
+        lg, nb, ni, no, sub, incl = _fused_vectorized(
+            chunk, sub, model, tables, incl, tog_k, key,
+            gumbels=g_k, want_carry=True,
+        )
+        return (sub, incl, logm + lg), (nb, ni, no)
+
+    (_, _, logm), (nb, ni, no) = jax.lax.scan(
+        body, (state, in0, jnp.zeros((R,), jnp.float32)), xs
+    )
+    p_acc = jnp.minimum(jnp.exp(logm), 1.0)
+    nb = nb.reshape(C * mc, R)[:M]
+    ni = jnp.moveaxis(ni, 1, 0).reshape(K, C * mc, R)[:, :M]
+    no = jnp.moveaxis(no, 1, 0).reshape(K, C * mc, R)[:, :M]
+    return p_acc, nb, ni, no
+
+
+# Test hook: force the chunked path with this chunk size (int); None = auto.
+_FORCE_CHUNK_MC = None
+
+
+def _fused_fn(ops, model, tables):
+    """Dispatch the fused acceptance+mutation pass by footprint: fully
+    vectorized when ``M x R x max(NE, K*N)`` fits :data:`_VEC_MAX_ELEMS`,
+    chunked-vectorized otherwise. ``_FORCE_VEC`` pins the vectorized (True)
+    or sequential-scan (False) path; ``_FORCE_CHUNK_MC`` pins the chunked
+    path at a given chunk size."""
+    if _FORCE_CHUNK_MC is not None:
+        return functools.partial(_fused_chunked, mc=_FORCE_CHUNK_MC)
+    if _FORCE_VEC is not None:
+        return _fused_vectorized if _FORCE_VEC else _fused_scan
+    M, R = ops.bond.shape
+    per_slot = R * max(tables.nedges, ops.max_legs * model.nvars, 1)
+    if M * per_slot <= _VEC_MAX_ELEMS:
+        return _fused_vectorized
+    mc = max(128, _VEC_MAX_ELEMS // per_slot // 128 * 128)
+    return functools.partial(_fused_chunked, mc=min(mc, M))
 
 
 def rvb_update_once(
@@ -1086,10 +1204,7 @@ def rvb_update_once(
         k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
     )
     in0, is_toggle = _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid)
-    M, R = ops.bond.shape
-    footprint = M * R * max(tables.nedges, ops.max_legs * model.nvars, 1)
-    use_vec = footprint <= _VEC_MAX_ELEMS if _FORCE_VEC is None else _FORCE_VEC
-    fused = _fused_vectorized if use_vec else _fused_scan
+    fused = _fused_fn(ops, model, tables)
     p_acc, nb, ni, no = fused(
         ops, state, model, tables, in0, is_toggle, k_mut
     )
@@ -1188,9 +1303,7 @@ def rvb_sweep(
         lambda p: _cluster_masks(p, ops, model, cvar, cpos, cnext, valid)
     )(popped)  # [U, R, N], [U, M, R]
 
-    footprint = M * R * max(tables.nedges, ops.max_legs * N, 1)
-    use_vec = footprint <= _VEC_MAX_ELEMS if _FORCE_VEC is None else _FORCE_VEC
-    fused = _fused_vectorized if use_vec else _fused_scan
+    fused = _fused_fn(ops, model, tables)
 
     def body(carry, xs):
         ops, state, succ = carry

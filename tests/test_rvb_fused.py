@@ -164,3 +164,69 @@ def test_vectorized_matches_fused_scan(L, G, h, beta, seed):
 
         ops = OpString(bond=nb_a, inputs=ni_a, outputs=no_a)
         state = state ^ in0
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,seed",
+    [
+        (3, 1.0, 0.0, 4.0, 41),
+        (3, 1.0, 0.4, 3.0, 43),
+    ],
+)
+def test_chunked_matches_vectorized_with_shared_gumbels(L, G, h, beta, seed):
+    """The chunked pass threads ``(substate, incl, logm)`` across chunk
+    boundaries; given the SAME rotation noise its candidate rewrites must be
+    bit-identical to the one-shot vectorized pass (the carry equals the
+    parities the one-shot pass computes at the boundary slots), and the
+    acceptance probability equal up to f32 summation-order rounding."""
+    edges = lattice.frustrated_square(L, L)
+    g = QmcIsingGraph(
+        edges, transverse=G, longitudinal=h, replicas=16, seed=seed
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 12)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    tables = _rvb.make_rvb_tables(edges, model)
+    inventory = _rvb._const_inventory(ops, model)
+    cvar, cpos, cnext, valid, ncount, has_const = inventory
+    M, R = ops.bond.shape
+
+    key = jax.random.key(900 + seed)
+    k_build, _, k_mut = jax.random.split(key, 3)
+    popped = _rvb._build_cluster(
+        k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount,
+        has_const,
+    )
+    in0, is_toggle = _rvb._cluster_masks(
+        popped, ops, model, cvar, cpos, cnext, valid
+    )
+    gumbels = jax.random.gumbel(k_mut, (M, R, tables.nedges))
+    pa, nb_a, ni_a, no_a = _rvb._fused_vectorized(
+        ops, state, model, tables, in0, is_toggle, k_mut, gumbels=gumbels
+    )
+    # mc values cover: multiple chunks, a non-divisor of M (padding), and a
+    # single chunk.
+    for mc in (32, 48, M):
+        pb, nb_b, ni_b, no_b = _rvb._fused_chunked(
+            ops, state, model, tables, in0, is_toggle, k_mut, mc=mc,
+            gumbels=gumbels,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=1e-5, rtol=1e-5
+        )
+        assert np.array_equal(np.asarray(nb_a), np.asarray(nb_b)), mc
+        assert np.array_equal(np.asarray(ni_a), np.asarray(ni_b)), mc
+        assert np.array_equal(np.asarray(no_a), np.asarray(no_b)), mc
+
+
+def test_chunked_full_chain_verifies(monkeypatch):
+    """End-to-end soak with the chunked path pinned on (production keying:
+    per-chunk fold_in rotation noise): the worldline-integrity oracle must
+    hold after every sweep."""
+    monkeypatch.setattr(_rvb, "_FORCE_CHUNK_MC", 64)
+    edges = lattice.frustrated_square(3, 3)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=8, seed=7)
+    g.set_run_rvb(True, updates_per_timestep=5)
+    for _ in range(6):
+        g.timesteps(4, 3.0)
+        assert g.verify()
