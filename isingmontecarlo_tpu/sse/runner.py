@@ -208,6 +208,63 @@ class Qmc:
         """``qmc_runner.rs:223-239``: clusters need edges + Ising symmetry."""
         return self.has_cluster_edges and not self.breaks_ising_symmetry
 
+    def should_do_heatbath(self) -> bool:
+        """``qmc_runner.rs:263-265``."""
+        return self._do_heatbath
+
+    def should_do_loop_update(self) -> bool:
+        """``qmc_runner.rs:273-275``."""
+        return self.do_loop_updates
+
+    # -- individual update moves (qmc_runner.rs:159-256) ---------------------
+
+    def diagonal_update(self, beta: float) -> None:
+        """One diagonal sweep only (``qmc_runner.rs:159-203``)."""
+        sse = self._ensure_sse()
+        key, k_d = jax.random.split(sse.key)
+        ops = _diag.diagonal_update(
+            sse.ops, sse.state, jnp.float32(beta), k_d, self.model,
+            hb=self._hb if self._do_heatbath else None,
+            heatbath=self._do_heatbath,
+        )
+        self._sse = sse._replace(ops=ops, key=key)
+        self._maybe_grow()
+
+    def loop_update(self) -> None:
+        """One directed-loop update only (``qmc_runner.rs:205-220``)."""
+        from isingmontecarlo_tpu.sse import loops as _loops
+
+        sse = self._ensure_sse()
+        key, k_l = jax.random.split(sse.key)
+        ops, state = _loops.loop_update(sse.ops, sse.state, k_l, self.model)
+        self._sse = sse._replace(ops=ops, state=state, key=key)
+
+    def cluster_update(self) -> None:
+        """One cluster update only; raises on models without cluster edges
+        or with broken Ising symmetry (``qmc_runner.rs:223-239`` returns
+        ``Err`` there)."""
+        if not self.should_do_cluster_update():
+            raise ValueError(
+                "cluster update needs cluster-edge interactions and "
+                "Ising symmetry (qmc_runner.rs:223-239)"
+            )
+        sse = self._ensure_sse()
+        key, k_c = jax.random.split(sse.key)
+        lc, ec = self._cluster_caps or (None, None)
+        ops, state = _cluster.cluster_update(
+            sse.ops, sse.state, k_c, self.model, 0.5, lc, ec
+        )
+        self._sse = sse._replace(ops=ops, state=state, key=key)
+
+    def flip_free_bits(self) -> None:
+        """Resample spins with no ops on their worldline
+        (``qmc_runner.rs:241-256``)."""
+        sse = self._ensure_sse()
+        key, k_f = jax.random.split(sse.key)
+        self._sse = resample_free_spins(
+            sse._replace(key=key), k_f, self.model
+        )
+
     # -- stepping ----------------------------------------------------------
 
     def _multi_timestep(self, beta: float, nsweeps: int) -> jax.Array:
@@ -377,6 +434,33 @@ class Qmc:
 
     def get_n(self) -> jax.Array:
         return _ops.op_count(self._ensure_sse().ops)
+
+    def get_bonds(self) -> list:
+        """The added interactions as ``(matrix, vars)`` pairs
+        (``qmc_runner.rs:108-110``)."""
+        return [(m.copy(), list(v)) for m, v in self._interactions]
+
+    def get_offset(self) -> float:
+        """Accumulated diagonal offset (``qmc_runner.rs:289-291``)."""
+        return self.offset
+
+    def get_cutoff(self) -> int:
+        """``qmc_runner.rs:299-301``."""
+        return self._ensure_sse().ops.cutoff
+
+    def set_cutoff(self, cutoff: int) -> None:
+        """Grow the op-string capacity (``qmc_runner.rs:304-308``; shrinking
+        is a no-op since slots above the old cutoff are identities)."""
+        sse = self._ensure_sse()
+        self._sse = sse._replace(ops=_ops.grow(sse.ops, cutoff))
+
+    def clone_state(self) -> np.ndarray:
+        """Copy of the p=0 state (``qmc_runner.rs:344-346``)."""
+        return np.asarray(self._ensure_sse().state).copy()
+
+    def into_vec(self) -> np.ndarray:
+        """Consume into the state array (``qmc_runner.rs:284-286``)."""
+        return self.clone_state()
 
     def state_ref(self) -> jax.Array:
         return self._ensure_sse().state

@@ -223,3 +223,56 @@ class TestSingleSteps:
         g.set_cutoff(m0 + 32)
         assert g.cutoff == m0 + 32
         assert g.verify()
+
+
+class TestGenericQmcSurface:
+    """Individual update moves and accessors of the generic engine
+    (``qmc_runner.rs:108-346``)."""
+
+    def _qmc(self, do_loops=False):
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(4, replicas=8, seed=5, do_loop_updates=do_loops)
+        ising = np.array([1.0, 0.0, 0.0, 1.0])
+        for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+            q.make_diagonal_interaction_and_offset(ising, [a, b])
+        for v in range(4):
+            q.make_interaction(np.full((2, 2), 0.7), [v])
+        return q
+
+    def test_individual_moves_keep_worldlines_valid(self):
+        q = self._qmc()
+        for _ in range(4):
+            q.diagonal_update(1.5)
+            assert q.verify()
+        q.cluster_update()
+        assert q.verify()
+        q.loop_update()
+        assert q.verify()
+        q.flip_free_bits()
+        assert q.verify()
+
+    def test_cluster_update_rejected_without_edges(self):
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(2, replicas=2, seed=1)
+        q.make_diagonal_interaction(np.array([1.0, 0.2, 0.2, 1.0]), [0, 1])
+        assert not q.should_do_cluster_update()
+        with pytest.raises(ValueError):
+            q.cluster_update()
+
+    def test_accessors(self):
+        q = self._qmc(do_loops=True)
+        assert q.should_do_loop_update() and not q.should_do_heatbath()
+        q.set_do_heatbath(True)
+        assert q.should_do_heatbath()
+        bonds = q.get_bonds()
+        assert len(bonds) == 8 and bonds[0][1] == [0, 1]
+        assert q.get_offset() == pytest.approx(q.model.offset)
+        m0 = q.get_cutoff()
+        q.set_cutoff(m0 + 16)
+        assert q.get_cutoff() == m0 + 16
+        s = q.clone_state()
+        assert s.shape == (8, 4) and s.dtype == bool
+        assert np.array_equal(q.into_vec(), s)
+        assert q.verify()
