@@ -128,6 +128,22 @@ class GraphState:
         for _ in range(t):
             self.do_time_step(beta)
 
+    def do_spin_flip(self, beta: float) -> None:
+        """One color-parallel single-spin-flip sweep (``graph.rs:91-119``;
+        the reference flips one random site per call — here every replica
+        attempts every site once per sweep)."""
+        self.spins = _metro.spin_flip_sweep(
+            self.spins, self._split(), beta, self.tables
+        )
+
+    @staticmethod
+    def should_flip(key: jax.Array, beta, delta_e) -> jax.Array:
+        """Batched Metropolis accept (``graph.rs:339-347``): always when
+        ``delta_e <= 0``, else with probability ``exp(-beta*delta_e)``."""
+        delta_e = jnp.asarray(delta_e, jnp.float32)
+        u = jax.random.uniform(key, jnp.shape(delta_e))
+        return (delta_e <= 0.0) | (u < jnp.exp(-beta * delta_e))
+
     def swendsen_wang_step(self, beta: float) -> None:
         """TPU-only extra move (not in the reference): Swendsen-Wang sweep."""
         self.spins = _cluster.swendsen_wang_sweep(
@@ -164,6 +180,10 @@ class GraphState:
     def clone_state(self) -> np.ndarray:
         return np.asarray(self.spins)
 
+    def get_state(self) -> np.ndarray:
+        """Consume into the spin state (``graph.rs:409-412``)."""
+        return np.asarray(self.spins)
+
     def state_ref(self) -> jax.Array:
         return self.spins
 
@@ -173,6 +193,16 @@ class GraphState:
             state = jnp.broadcast_to(state[None, :], self.spins.shape)
         assert state.shape == self.spins.shape
         self.spins = state
+
+    def __repr__(self) -> str:
+        """Per-replica ``<bits>\\t<energy>`` lines (the reference ``Debug``
+        impl, ``graph.rs:17-31``)."""
+        bits = np.asarray(self.spins).astype(np.uint8)
+        energies = np.asarray(self.get_energy())
+        return "\n".join(
+            "".join("1" if b else "0" for b in row) + f"\t{e}"
+            for row, e in zip(bits, energies)
+        )
 
 
 def make_random_spin_state(n: int, key: jax.Array, replicas: int = 1) -> jax.Array:

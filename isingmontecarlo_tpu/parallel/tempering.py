@@ -335,5 +335,32 @@ class TemperingContainer:
         order = np.argsort(np.asarray(self.betas))
         return np.asarray(self.graph.sse.state)[order], np.asarray(self.betas)[order]
 
+    # -- small accessors (tempering_container.rs:211-238) -------------------
+
+    def iter_over_states(self, f) -> None:
+        """Call ``f(state_row, beta)`` for every replica
+        (``tempering_container.rs:211-216``)."""
+        states = np.asarray(self.graph.sse.state)
+        betas = np.asarray(self.betas)
+        for r in range(self.replicas):
+            f(states[r], float(betas[r]))
+
+    def graph_ref(self):
+        """The batched graph and its per-replica betas — the analog of the
+        reference's ``&[(Q, beta)]`` (``tempering_container.rs:219-221``)."""
+        return self.graph, self.betas
+
+    def graph_mut(self):
+        """``tempering_container.rs:223-225``."""
+        return self.graph, self.betas
+
+    def num_graphs(self) -> int:
+        """``tempering_container.rs:227-229``."""
+        return self.replicas
+
+    def get_total_swaps(self) -> int:
+        """``tempering_container.rs:231-233``."""
+        return self.total_swaps
+
     def verify(self) -> bool:
         return self.graph.verify()

@@ -40,6 +40,28 @@ class SseState(NamedTuple):
     key: jax.Array
 
 
+class HamInfo(NamedTuple):
+    """Data required to evaluate the Hamiltonian (``qmc_ising.rs:890-905``).
+
+    Equality follows the reference's ``PartialEq``: edges and transverse
+    field only (``qmc_ising.rs:898-902``)."""
+
+    edges: tuple
+    transverse: float
+    longitudinal: float
+    nvars: int
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, HamInfo)
+            and self.edges == other.edges
+            and self.transverse == other.transverse
+        )
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+
 def resample_free_spins(
     sse: SseState, key: jax.Array, model: BondModel,
     has_op: jax.Array | None = None,
@@ -256,6 +278,15 @@ class QmcIsingGraph:
 
     # -- Hamiltonian access (qmc_ising.rs:169-205) --------------------------
 
+    def make_haminfo(self) -> HamInfo:
+        """``qmc_ising.rs:169-176``."""
+        return HamInfo(
+            edges=tuple((tuple(e), float(j)) for e, j in self.edges),
+            transverse=float(self.transverse),
+            longitudinal=float(self.longitudinal),
+            nvars=self.nvars,
+        )
+
     def hamiltonian(self, bond: int, inputs, outputs) -> float:
         """Matrix element of ``bond`` for the given leg substates
         (``qmc_ising.rs:179-205``), evaluated from the compiled tables."""
@@ -397,6 +428,21 @@ class QmcIsingGraph:
 
     def clone_state(self) -> np.ndarray:
         return np.asarray(self.sse.state)
+
+    def into_vec(self) -> np.ndarray:
+        """Consume into the p=0 state array (``qmc_ising.rs:507-510``)."""
+        return np.asarray(self.sse.state).copy()
+
+    def get_manager_ref(self) -> _ops.OpString:
+        """The op-string container — the reference's op manager
+        (``qmc_ising.rs:548-550``)."""
+        return self.sse.ops
+
+    def get_manager_mut(self) -> _ops.OpString:
+        """``qmc_ising.rs:553-555``; op strings are immutable pytrees here —
+        mutate by building a new one and assigning ``graph.sse =
+        graph.sse._replace(ops=...)``."""
+        return self.sse.ops
 
     def get_offset(self) -> float:
         return self.model.offset

@@ -73,6 +73,60 @@ def generic_multi_sweep(
     return jax.lax.scan(body, sse, None, length=nsweeps)
 
 
+class Interaction:
+    """A k-local interaction — mirror of the reference ``Interaction``
+    (``qmc_runner.rs:561-699``). ``mat`` is the stored (post-offset) matrix:
+    a ``2^k x 2^k`` array (row = outputs, col = inputs) or a length-``2^k``
+    diagonal; bit order has the first variable most significant
+    (``qmc_runner.rs:668-680``)."""
+
+    def __init__(self, mat: np.ndarray, vars: Sequence[int]):
+        self.mat = np.asarray(mat, dtype=np.float64)
+        self.vars = list(vars)
+        self.n = len(self.vars)
+        self.diagonal = self.mat.ndim == 1
+        diag = self.mat if self.diagonal else np.diagonal(self.mat)
+        self.constant_along_diagonal = bool(
+            np.all(np.abs(diag - diag.flat[0]) < 1e-12)
+        )
+        self._constant = (not self.diagonal) and bool(
+            np.all(np.abs(self.mat - self.mat.flat[0]) < 1e-12)
+        )
+
+    def is_constant(self) -> bool:
+        """All entries equal (``qmc_runner.rs:562-564``)."""
+        return self._constant
+
+    def is_constant_diag(self) -> bool:
+        """``qmc_runner.rs:567-569``."""
+        return self.constant_along_diagonal
+
+    @staticmethod
+    def _index(bits) -> int:
+        acc = 0
+        for b in bits:
+            acc = (acc << 1) | int(bool(b))
+        return acc
+
+    def at(self, inputs, outputs) -> float:
+        """Matrix element for the given leg substates
+        (``qmc_runner.rs:573-612``)."""
+        if len(inputs) != self.n or len(outputs) != self.n:
+            raise ValueError(
+                f"Interaction covers {self.n} vars, "
+                f"given ({len(inputs)}/{len(outputs)})"
+            )
+        if self.diagonal:
+            if self._index(inputs) != self._index(outputs):
+                return 0.0
+            return float(self.mat[self._index(inputs)])
+        return float(self.mat[self._index(outputs), self._index(inputs)])
+
+    def sym_under_ising(self) -> bool:
+        """Symmetry under a global spin flip (``qmc_runner.rs:643-664``)."""
+        return _sym_under_ising(self.mat, self.n)
+
+
 def _sym_under_ising(mat: np.ndarray, k: int) -> bool:
     """Global-spin-flip symmetry of an interaction (``qmc_runner.rs:643-664``)."""
     mat = np.asarray(mat, dtype=np.float64)
@@ -121,6 +175,25 @@ class Qmc:
         self._key = key
         self._spins = spins
         self._sse: SseState | None = None
+
+    @classmethod
+    def new_with_state(
+        cls,
+        nvars: int,
+        state,
+        *,
+        replicas: int = 1,
+        seed: int = 0,
+        do_loop_updates: bool = False,
+    ) -> "Qmc":
+        """``qmc_runner.rs:54-62``."""
+        return cls(
+            nvars,
+            replicas=replicas,
+            seed=seed,
+            do_loop_updates=do_loop_updates,
+            state=state,
+        )
 
     # -- interactions ------------------------------------------------------
 
@@ -436,9 +509,15 @@ class Qmc:
         return _ops.op_count(self._ensure_sse().ops)
 
     def get_bonds(self) -> list:
-        """The added interactions as ``(matrix, vars)`` pairs
+        """The added interactions as :class:`Interaction` objects
         (``qmc_runner.rs:108-110``)."""
-        return [(m.copy(), list(v)) for m, v in self._interactions]
+        return [Interaction(m, v) for m, v in self._interactions]
+
+    def get_manager_ref(self) -> _ops.OpString:
+        """The op-string container — the reference's op manager
+        (``qmc_runner.rs:294-296``). Immutable pytree; mutate by assigning
+        a rebuilt one through the internal state."""
+        return self._ensure_sse().ops
 
     def get_offset(self) -> float:
         """Accumulated diagonal offset (``qmc_runner.rs:289-291``)."""

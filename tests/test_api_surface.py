@@ -267,7 +267,7 @@ class TestGenericQmcSurface:
         q.set_do_heatbath(True)
         assert q.should_do_heatbath()
         bonds = q.get_bonds()
-        assert len(bonds) == 8 and bonds[0][1] == [0, 1]
+        assert len(bonds) == 8 and bonds[0].vars == [0, 1]
         assert q.get_offset() == pytest.approx(q.model.offset)
         m0 = q.get_cutoff()
         q.set_cutoff(m0 + 16)
@@ -276,3 +276,73 @@ class TestGenericQmcSurface:
         assert s.shape == (8, 4) and s.dtype == bool
         assert np.array_equal(q.into_vec(), s)
         assert q.verify()
+
+
+class TestInteractionSurface:
+    """The ``Interaction`` object surface (``qmc_runner.rs:561-699``)."""
+
+    def test_at_and_properties(self):
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(3, replicas=2, seed=2)
+        # Asymmetric diagonal 2-site bond.
+        q.make_diagonal_interaction(np.array([1.0, 0.25, 0.5, 1.0]), [0, 1])
+        # Constant 1-site matrix (cluster edge).
+        q.make_interaction(np.full((2, 2), 0.7), [2])
+        diag, const = q.get_bonds()
+
+        assert not diag.is_constant() and not diag.is_constant_diag()
+        # First var most significant: inputs (v0=1, v1=0) -> index 0b10 = 2.
+        assert diag.at([True, False], [True, False]) == pytest.approx(0.5)
+        assert diag.at([False, True], [False, True]) == pytest.approx(0.25)
+        assert diag.at([True, False], [False, True]) == 0.0
+        assert not diag.sym_under_ising()
+
+        assert const.is_constant() and const.is_constant_diag()
+        assert const.at([True], [False]) == pytest.approx(0.7)
+        assert const.sym_under_ising()
+
+        with pytest.raises(ValueError):
+            diag.at([True], [True])
+
+    def test_symmetric_ising_bond(self):
+        from isingmontecarlo_tpu.sse.runner import Interaction
+
+        sym = Interaction(np.array([1.0, 0.0, 0.0, 1.0]), [0, 1])
+        assert sym.sym_under_ising() and sym.diagonal
+
+
+class TestHamInfoAndManager:
+    def test_haminfo_eq_ignores_longitudinal(self):
+        from isingmontecarlo_tpu.sse.ising import HamInfo
+
+        g1 = small_graph(replicas=2, h=0.0)
+        g2 = small_graph(replicas=2, h=0.5)
+        i1, i2 = g1.make_haminfo(), g2.make_haminfo()
+        assert isinstance(i1, HamInfo)
+        # PartialEq compares edges + transverse only (qmc_ising.rs:898-902).
+        assert i1 == i2
+        g3 = QmcIsingGraph(
+            lattice.chain(4, j=1.0), transverse=2.0, replicas=2, seed=0
+        )
+        assert i1 != g3.make_haminfo()
+
+    def test_manager_ref_and_into_vec(self):
+        g = small_graph(replicas=2)
+        g.timestep(1.0)
+        ops = g.get_manager_ref()
+        assert ops is g.get_manager_mut()
+        assert ops.cutoff == g.get_cutoff()
+        v = g.into_vec()
+        assert v.shape == (2, 4) and np.array_equal(v, g.clone_state())
+
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc.new_with_state(3, np.array([True, False, True]), replicas=4)
+        q.make_diagonal_interaction_and_offset(
+            np.array([1.0, 0.0, 0.0, 1.0]), [0, 1]
+        )
+        assert np.array_equal(
+            q.clone_state(), np.tile([True, False, True], (4, 1))
+        )
+        assert q.get_manager_ref().cutoff == q.get_cutoff()

@@ -266,3 +266,42 @@ class TestClusters:
         )
         m = float(jnp.mean(metropolis.magnetization(spins)))
         assert m > 0.5 * L, m
+
+
+class TestGraphStateSurface:
+    """Small reference-parity surface items (``graph.rs:17-31, 91-119,
+    339-347, 409-412``)."""
+
+    def test_should_flip(self):
+        key = jax.random.key(0)
+        de = jnp.array([-1.0, 0.0, 1e9])
+        acc = GraphState.should_flip(key, 1.0, de)
+        assert bool(acc[0]) and bool(acc[1]) and not bool(acc[2])
+        # Statistical check at dE=1, beta=1: accept rate ~ exp(-1).
+        keys = jax.random.split(jax.random.key(1), 400)
+        hits = sum(
+            bool(GraphState.should_flip(k, 1.0, 1.0)) for k in keys
+        )
+        assert abs(hits / 400 - np.exp(-1.0)) < 0.08
+
+    def test_do_spin_flip_and_get_state(self):
+        L = 6
+        edges = [((i, (i + 1) % L), -1.0) for i in range(L)]
+        g = GraphState.new(edges, [0.0] * L, replicas=8, seed=3)
+        e0 = float(jnp.mean(g.get_energy()))
+        for _ in range(30):
+            g.do_spin_flip(3.0)
+        assert float(jnp.mean(g.get_energy())) <= e0
+        s = g.get_state()
+        assert s.shape == (8, L) and s.dtype == bool
+        assert np.array_equal(s, g.clone_state())
+
+    def test_repr_matches_debug_format(self):
+        g = GraphState.new(
+            [((0, 1), -1.0)], [0.0, 0.0], replicas=2, seed=0
+        )
+        lines = repr(g).splitlines()
+        assert len(lines) == 2
+        bits, energy = lines[0].split("\t")
+        assert set(bits) <= {"0", "1"} and len(bits) == 2
+        float(energy)

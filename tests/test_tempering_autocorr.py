@@ -122,3 +122,26 @@ class TestAutocorrelations:
         acb = np.asarray(bond_autocorrelation(states, edges, ej))
         assert acb.shape == (64,)
         assert abs(acb[0] - 1.0) < 1e-4
+
+
+class TestContainerAccessors:
+    """Small surface items (``tempering_container.rs:211-238``)."""
+
+    def test_iter_graph_swaps(self):
+        from isingmontecarlo_tpu import lattice
+        from isingmontecarlo_tpu.parallel import TemperingContainer
+
+        tc = TemperingContainer(
+            lattice.chain(4, j=1.0), 1.0, betas=[0.5, 1.0, 2.0], seed=4
+        )
+        tc.timesteps(4)
+        assert tc.num_graphs() == 3
+        seen = []
+        tc.iter_over_states(lambda s, b: seen.append((s.shape, b)))
+        assert len(seen) == 3 and seen[0][0] == (4,)
+        assert {b for _, b in seen} == {0.5, 1.0, 2.0}
+        g, betas = tc.graph_ref()
+        assert g is tc.graph and len(betas) == 3
+        before = tc.get_total_swaps()
+        tc.tempering_step()
+        assert tc.get_total_swaps() >= before
