@@ -73,9 +73,15 @@ def _substate_idx(bits):
     return jnp.sum(bits.astype(jnp.int32) * w, axis=0)
 
 
-# Element-count gate for the precomputed-weights fast path: it materializes
-# an [M, R, N] flip-parity tensor (i8 on TPU), so cap its footprint.
+# Element-count gates for the precomputed-weights fast path, in units of
+# M*R*N. The CPU branch materializes a bool [M, R, N] flip-parity tensor
+# (M*R*N bytes); the TPU branch is bit-packed — its largest tensor is the
+# [M, R, W, 4] bf16 byte-plane stack, W = ceil(N/16), i.e. ~M*R*N/2 bytes —
+# so it tolerates a 4x larger element count (peak ~1 GB per temporary at
+# the cap, on 16 GB HBM). Large replica counts at 32^2 (R >= 104) need the
+# higher cap to stay on the fast path.
 _PAR_MAX_ELEMS = 1 << 29
+_PAR_MAX_ELEMS_PACKED = 1 << 31
 
 # Test hook: force the bit-packed MXU precompute branch on (True) or off
 # (False) regardless of backend; None = auto (TPU only).
@@ -434,7 +440,13 @@ def diagonal_update(
     fast path when its [M, R, N] parity tensor fits the element cap, else
     the sequential full scan; both run the identical Markov chain."""
     M, R = ops.bond.shape
-    if M * R * model.nvars <= _PAR_MAX_ELEMS:
+    packed = (
+        _FORCE_PACKED
+        if _FORCE_PACKED is not None
+        else jax.default_backend() == "tpu"
+    )
+    cap = _PAR_MAX_ELEMS_PACKED if packed else _PAR_MAX_ELEMS
+    if M * R * model.nvars <= cap:
         return _diagonal_update_fast(
             ops, state, beta, key, model, hb=hb, heatbath=heatbath,
             bond_scale=bond_scale,

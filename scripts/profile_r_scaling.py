@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Replica-count scaling of the SSE sweep: per-replica-timestep cost at
-R in {64, 128, 256}.
+R in {64, 128, 256, 512, 1024} (or a custom list).
 
 TPU VPU lanes are 128-wide, so R=64 half-fills the minor dimension of every
 [.., R] tensor; the MXU one-hot gathers also amortize with R. If the batched
 sweep cost grows sub-linearly in R, the bench suite should run more replicas
 (aggregate ESS/s is what the north star counts). Marginal methodology as in
-profile_32.py. Usage: python scripts/profile_r_scaling.py [L] [beta]
+profile_32.py. Usage: python scripts/profile_r_scaling.py [L] [beta] [R,R,...]
 """
 import sys
 import time
@@ -21,12 +21,17 @@ from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep, sweep
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 beta = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+R_LIST = (
+    tuple(int(r) for r in sys.argv[3].split(","))
+    if len(sys.argv) > 3
+    else (64, 128, 256, 512, 1024)
+)
 
 print(f"device: {jax.devices()[0]}", file=sys.stderr)
 edges = lattice.frustrated_square(L, L)
 b = jnp.float32(beta)
 
-for R in (64, 128, 256):
+for R in R_LIST:
     g = QmcIsingGraph(edges, transverse=1.0, replicas=R, seed=1234)
     for _ in range(4):
         g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, 6)
