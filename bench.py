@@ -110,14 +110,16 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
 
 
 def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
-    """Secondary: SSE TFIM sweeps/sec and energy-ESS/sec on an LxL lattice
-    (diagnostic only). ESS uses the integrated autocorrelation time of the
-    per-sweep energy estimator (op count), summed over independent replicas."""
+    """Secondary: SSE TFIM sweeps/sec and energy-ESS/sec on the reference's
+    LxL benchmark lattice. ESS uses the integrated autocorrelation time of
+    the per-sweep energy estimator (op count), summed over independent
+    replicas — the same methodology as the single-core denominator
+    (scripts/ref_cpu_bench.sh)."""
     from isingmontecarlo_tpu import lattice
     from isingmontecarlo_tpu.analysis import effective_sample_size
     from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
 
-    edges = lattice.square(L, L, j=1.0)
+    edges = lattice.bench_two_d_periodic(L)
     g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=7)
     beta = jnp.float32(1.0)
     # Grow the cutoff to steady state (short chunks until stable), then
@@ -217,17 +219,17 @@ def bench_suite() -> None:
     print("reference benchmark workloads (benches/end_to_end.rs):", file=sys.stderr)
     safe("one_d (L=16)", lattice.chain(16), 1.0, R)
     for L in (4, 8, 16):
-        safe(f"two_d_{L:02d}", lattice.frustrated_square(L, L), 1.0, R)
+        safe(f"two_d_{L:02d}", lattice.bench_two_d_periodic(L), 1.0, R)
     safe("one_d_heatbath", lattice.chain(16), 1.0, R, heatbath=True)
     for L in (4, 8, 16):
         safe(
-            f"two_d_heatbath_{L:02d}", lattice.frustrated_square(L, L), 1.0, R,
+            f"two_d_heatbath_{L:02d}", lattice.bench_two_d_periodic(L), 1.0, R,
             heatbath=True,
         )
     for L in (4, 6, 8):
         n = L * L
         safe(
-            f"two_d_rvb_{L:02d} (beta=10)", lattice.frustrated_square(L, L),
+            f"two_d_rvb_{L:02d} (beta=10)", lattice.bench_two_d_periodic(L),
             10.0, 64, rvb=(n + 1) // 2, warm=4,
         )
     # Cold RVB (beta=100, benches/end_to_end.rs:336-429): deep op strings,
@@ -235,14 +237,14 @@ def bench_suite() -> None:
     for L in (4, 5):
         n = L * L
         safe(
-            f"two_d_rvb_cold_{L} (beta=100)", lattice.frustrated_square(L, L),
+            f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
             100.0, 64, rvb=(n + 1) // 2, warm=10,
         )
     # Last: these program sizes intermittently crash the tunnel's TPU worker
     # (see CLAUDE.md); running them last keeps the rest of the table intact.
-    safe("two_d_32", lattice.frustrated_square(32, 32), 1.0, 64)
+    safe("two_d_32", lattice.bench_two_d_periodic(32), 1.0, 64)
     safe(
-        "two_d_heatbath_32", lattice.frustrated_square(32, 32), 1.0, 64,
+        "two_d_heatbath_32", lattice.bench_two_d_periodic(32), 1.0, 64,
         heatbath=True,
     )
 

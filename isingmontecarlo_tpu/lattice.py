@@ -186,6 +186,26 @@ def square(
     return out
 
 
+def bench_two_d_periodic(l: int) -> list[tuple[Edge, float]]:
+    """The reference benchmark lattice, mirrored exactly
+    (``benches/end_to_end.rs:12-30``): L x L periodic, right couplings -1,
+    down couplings +1/-1 by column parity (every plaquette frustrated).
+    Used by ``bench.py --suite`` and the single-core C++ denominator
+    (``native/ref_single_core.cpp``) so the two measure identical physics."""
+
+    def f(i: int, j: int) -> int:
+        return j * l + i
+
+    edges: list[tuple[Edge, float]] = []
+    for j in range(l):
+        for i in range(l):
+            edges.append(((f(i, j), f((i + 1) % l, j)), -1.0))
+    for j in range(l):
+        for i in range(l):
+            edges.append(((f(i, j), f(i, (j + 1) % l)), 1.0 if i % 2 == 0 else -1.0))
+    return edges
+
+
 def frustrated_square(
     Lx: int, Ly: int, j: float = 1.0, periodic: bool = True
 ) -> list[tuple[Edge, float]]:
