@@ -26,6 +26,7 @@ pre-generated as counter-based uniforms ``[M, R]``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -91,6 +92,15 @@ _FORCE_PACKED = None
 # this many slots the block-speculative evaluation (see _carry_scan_spec) is
 # used. Test hook: set to small/huge to force the branch on/off.
 _SPEC_MIN_M = 2048
+
+# The carry scan can run as a Pallas kernel (ops/diag_carry.py): the n carry
+# lives in VMEM scratch and each slot costs a few VPU ops, with no
+# speculative-window fallback. Test hook: True forces the kernel (in
+# interpreter mode off-TPU), False forces it off; None = auto — currently
+# OFF pending first validation + timing on real TPU hardware (set the
+# ISING_DIAG_KERNEL=1 env var or this hook to enable).
+_FORCE_CARRY_KERNEL = None
+_KERNEL_DEFAULT = os.environ.get("ISING_DIAG_KERNEL", "") == "1"
 # Candidate window half-width for the speculative carry: the TRUE op count
 # at each block boundary must stay within +-_SPEC_WINDOW/2 of the frozen-n
 # estimate (see _carry_scan_spec pass 0), else the exact sequential fallback
@@ -406,7 +416,25 @@ def _diagonal_update_fast(
         xs = (u[0], is_ident, is_diag, ins_w)
     else:
         xs = (u[0], is_ident, is_diag, num_ins, num_rem)
-    if M >= _SPEC_MIN_M:
+    use_kernel = (
+        _FORCE_CARRY_KERNEL
+        if _FORCE_CARRY_KERNEL is not None
+        else _KERNEL_DEFAULT and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from isingmontecarlo_tpu.ops.diag_carry import carry_decisions
+
+        if heatbath:
+            p1, p2 = ins_w, ins_w
+        else:
+            p1, p2 = num_ins, num_rem
+        insert, remove = carry_decisions(
+            n0, u[0], is_ident, is_diag, p1, p2,
+            bwt if heatbath else jnp.zeros((R,), jnp.float32),
+            M=M, heatbath=heatbath,
+            interpret=jax.default_backend() != "tpu",
+        )
+    elif M >= _SPEC_MIN_M:
         ins_s, rem_s, bad = _carry_scan_spec(n0, xs, M, heatbath, bwt, unroll)
         insert, remove = jax.lax.cond(
             bad,

@@ -138,3 +138,35 @@ def test_packed_branch_matches_scan(L, G, h, beta, heatbath, scaled):
     assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
     assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
     assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+@pytest.mark.parametrize(
+    "heatbath,replicas",
+    [(False, 8), (True, 8), (False, 128)],
+)
+def test_carry_kernel_matches_scan(heatbath, replicas, monkeypatch):
+    """The Pallas carry-scan kernel (TPU default, interpreter mode here) must
+    be bit-identical to the sequential carry scan. replicas=128 exercises the
+    sublane x lane replica layout."""
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=9)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    hbt = _diag.make_heatbath_tables(model) if heatbath else None
+    key = jax.random.key(7)
+    a = _diag._diagonal_update_fast(
+        ops, state, jnp.float32(1.2), key, model, hb=hbt, heatbath=heatbath
+    )
+    monkeypatch.setattr(_diag, "_FORCE_CARRY_KERNEL", True)
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(1.2), key, model,
+            hb=hbt, heatbath=heatbath,
+        )
+    finally:
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
