@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""North-star measurement: energy-ESS/sec on the 32^2 SSE TFIM benchmark
+lattice at several replica counts, reported against the measured single-core
+denominator (BASELINE.md: ~500 ESS/s -> 100x target = 50k ESS/s).
+
+Methodology matches bench.py's bench_sse: grow the cutoff to steady state,
+equilibrate, time fused multi_sweep rounds with a device readback, and
+compute ESS from the per-sweep op-count series (integrated autocorrelation
+time, summed over independent replicas).
+
+Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu.analysis import effective_sample_size
+from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+DENOM_ESS_PER_SEC = 500.0  # scripts/ref_cpu_bench.sh, BASELINE.md
+
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+R_LIST = (
+    tuple(int(r) for r in sys.argv[2].split(","))
+    if len(sys.argv) > 2
+    else (64, 128, 256, 512)
+)
+NS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+print(f"device: {jax.devices()[0]}", file=sys.stderr)
+edges = lattice.bench_two_d_periodic(L)
+beta = jnp.float32(1.0)
+
+for R in R_LIST:
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=R, seed=7)
+    stable = 0
+    for _ in range(40):
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, 2)
+        float(jnp.sum(ns))
+        before = g.cutoff
+        g._maybe_grow()
+        stable = stable + 1 if g.cutoff == before else 0
+        if stable >= 2:
+            break
+    for _ in range(2):
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS)
+        float(jnp.sum(ns))
+        g._maybe_grow()
+    best = float("inf")
+    ns_all = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS)
+        float(jnp.sum(ns))
+        best = min(best, time.perf_counter() - t0)
+        ns_all.append(np.asarray(ns))
+    series = np.concatenate(ns_all, axis=0)
+    ess = effective_sample_size(series)
+    ess_rate = ess / (best * len(ns_all))
+    print(
+        f"R={R:<5} cutoff={g.cutoff:<6} {R * NS / best:10,.0f} replica-sweeps/s"
+        f"  tau={series.size / ess:5.2f}  ESS/s={ess_rate:9.1f}"
+        f"  vs_single_core={ess_rate / DENOM_ESS_PER_SEC:7.2f}x"
+    )
