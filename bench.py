@@ -226,19 +226,21 @@ def bench_suite() -> None:
             f"two_d_heatbath_{L:02d}", lattice.bench_two_d_periodic(L), 1.0, R,
             heatbath=True,
         )
-    for L in (4, 6, 8):
+    for L in (4, 6, 8, 16):
         n = L * L
         safe(
             f"two_d_rvb_{L:02d} (beta=10)", lattice.bench_two_d_periodic(L),
-            10.0, 64, rvb=(n + 1) // 2, warm=4,
+            10.0, 64 if L < 16 else 16, rvb=(n + 1) // 2, warm=4,
         )
     # Cold RVB (beta=100, benches/end_to_end.rs:336-429): deep op strings,
-    # more warm rounds to grow the cutoff to steady state.
-    for L in (4, 5):
+    # more warm rounds to grow the cutoff to steady state. (rvb_cold_7/8 and
+    # rvb_32 are omitted: the dense fused pass is O(M) per update and those
+    # op strings reach the tunnel worker's crash sizes.)
+    for L in (4, 5, 6):
         n = L * L
         safe(
             f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
-            100.0, 64, rvb=(n + 1) // 2, warm=10,
+            100.0, 64 if L < 6 else 32, rvb=(n + 1) // 2, warm=10,
         )
     # Last: these program sizes intermittently crash the tunnel's TPU worker
     # (see CLAUDE.md); running them last keeps the rest of the table intact.
