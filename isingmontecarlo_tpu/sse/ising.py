@@ -89,7 +89,7 @@ def resample_free_spins(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heatbath", "n_rvb", "cluster_caps")
+    jax.jit, static_argnames=("heatbath", "n_rvb", "cluster_caps", "do_cluster")
 )
 def sweep(
     sse: SseState,
@@ -101,10 +101,16 @@ def sweep(
     n_rvb: int = 0,
     bond_scale: jax.Array | None = None,
     cluster_caps: tuple[int, int] | None = None,
+    do_cluster: bool = True,
 ) -> tuple[SseState, jax.Array]:
     """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
 
-    Returns ``(state, rvb_successes i32[R])`` (zeros when RVB is off)."""
+    ``do_cluster=False`` skips the cluster update and free-spin resample
+    (used by ``multi_sweep``'s ``cluster_every`` thinning — any fixed
+    schedule of detailed-balance-preserving updates samples the same
+    distribution; the reference composition is ``do_cluster=True`` every
+    step). Returns ``(state, rvb_successes i32[R])`` (zeros when RVB is
+    off)."""
     key, k_diag, k_rvb, k_clust, k_free = jax.random.split(sse.key, 5)
     ops = _diag.diagonal_update(
         sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath,
@@ -119,6 +125,8 @@ def sweep(
         )
     else:
         succ = jnp.zeros((state.shape[0],), jnp.int32)
+    if not do_cluster:
+        return SseState(ops=ops, state=state, key=key), succ
     lc, ec = cluster_caps if cluster_caps is not None else (None, None)
     # One segment-graph build serves the cluster update AND the free-spin
     # resampling (a var has ops iff its worldline has a head leg; cluster
@@ -135,7 +143,8 @@ def sweep(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nsweeps", "heatbath", "collect_states", "n_rvb", "cluster_caps"
+        "nsweeps", "heatbath", "collect_states", "n_rvb", "cluster_caps",
+        "cluster_every",
     ),
 )
 def multi_sweep(
@@ -150,24 +159,42 @@ def multi_sweep(
     n_rvb: int = 0,
     bond_scale: jax.Array | None = None,
     cluster_caps: tuple[int, int] | None = None,
+    cluster_every: int = 1,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
-    ``bool[T, R, N]``, and accumulated RVB successes ``i32[R]``."""
+    ``bool[T, R, N]``, and accumulated RVB successes ``i32[R]``.
 
-    def body(carry, _):
+    ``cluster_every=k`` runs the (expensive) cluster update + free-spin
+    resample on every k-th timestep only — a throughput/autocorrelation
+    trade measurable with ``scripts/ess32.py``; ``k=1`` is the reference
+    composition."""
+    kw = dict(
+        hb=hb, heatbath=heatbath, rvb_tables=rvb_tables, n_rvb=n_rvb,
+        bond_scale=bond_scale, cluster_caps=cluster_caps,
+    )
+
+    def body(carry, do_cluster):
         sse, succ = carry
-        new, s = sweep(
-            sse, beta, model, hb=hb, heatbath=heatbath,
-            rvb_tables=rvb_tables, n_rvb=n_rvb, bond_scale=bond_scale,
-            cluster_caps=cluster_caps,
-        )
+        if cluster_every == 1:
+            new, s = sweep(sse, beta, model, do_cluster=True, **kw)
+        else:
+            new, s = jax.lax.cond(
+                do_cluster,
+                lambda sse: sweep(sse, beta, model, do_cluster=True, **kw),
+                lambda sse: sweep(sse, beta, model, do_cluster=False, **kw),
+                sse,
+            )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
 
+    flags = (
+        jnp.arange(nsweeps, dtype=jnp.int32) % cluster_every
+        == cluster_every - 1
+    )
     succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
     (sse, succ), (ns, states) = jax.lax.scan(
-        body, (sse, succ0), None, length=nsweeps
+        body, (sse, succ0), flags, length=nsweeps
     )
     return sse, ns, states, succ
 
@@ -238,6 +265,9 @@ class QmcIsingGraph:
         # Host-tracked static caps for the cluster label stage (monotone,
         # 16-quantized; see _maybe_grow). None until first measured.
         self._cluster_caps: tuple[int, int] | None = None
+        # Cluster update cadence inside fused chunks (1 = every timestep,
+        # the reference composition; see set_cluster_every).
+        self._cluster_every = 1
         key = jax.random.key(seed)
         key, k_state = jax.random.split(key)
         if state is None:
@@ -380,6 +410,17 @@ class QmcIsingGraph:
         self._heatbath = enable
         if enable and self._hb_tables is None:
             self._hb_tables = _diag.make_heatbath_tables(self.model)
+
+    def set_cluster_every(self, k: int) -> None:
+        """TPU-only throughput knob (not in the reference): run the cluster
+        update + free-spin resample on every ``k``-th timestep inside fused
+        chunks instead of every timestep. Any fixed schedule of detailed-
+        balance updates samples the same distribution; larger ``k`` trades
+        autocorrelation time for per-sweep cost (measure with
+        ``scripts/ess32.py``). ``k=1`` restores the reference composition
+        (``qmc_ising.rs:644-795``)."""
+        assert k >= 1
+        self._cluster_every = int(k)
 
     # -- accessors ---------------------------------------------------------
 
@@ -752,6 +793,9 @@ class QmcIsingGraph:
                 hb=self._hb_tables if self._heatbath else None,
                 heatbath=self._heatbath,
                 collect_states=collect,
+                # Growth-phase single steps keep the full composition so
+                # off-diagonal mixing starts immediately from a cold string.
+                cluster_every=self._cluster_every if todo > 1 else 1,
                 **self._rvb_args(),
             )
             self._count_rvb(succ, todo)

@@ -8,7 +8,7 @@ equilibrate, time fused multi_sweep rounds with a device readback, and
 compute ESS from the per-sweep op-count series (integrated autocorrelation
 time, summed over independent replicas).
 
-Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps]
+Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps] [cluster_every]
 """
 import sys
 import time
@@ -32,6 +32,7 @@ R_LIST = (
     else (64, 128, 256, 512)
 )
 NS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+CK = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 print(f"device: {jax.devices()[0]}", file=sys.stderr)
 edges = lattice.bench_two_d_periodic(L)
@@ -49,14 +50,14 @@ for R in R_LIST:
         if stable >= 2:
             break
     for _ in range(2):
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS, cluster_every=CK)
         float(jnp.sum(ns))
         g._maybe_grow()
     best = float("inf")
     ns_all = []
     for _ in range(3):
         t0 = time.perf_counter()
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS, cluster_every=CK)
         float(jnp.sum(ns))
         best = min(best, time.perf_counter() - t0)
         ns_all.append(np.asarray(ns))
@@ -64,7 +65,7 @@ for R in R_LIST:
     ess = effective_sample_size(series)
     ess_rate = ess / (best * len(ns_all))
     print(
-        f"R={R:<5} cutoff={g.cutoff:<6} {R * NS / best:10,.0f} replica-sweeps/s"
+        f"R={R:<5} k={CK} cutoff={g.cutoff:<6} {R * NS / best:10,.0f} replica-sweeps/s"
         f"  tau={series.size / ess:5.2f}  ESS/s={ess_rate:9.1f}"
         f"  vs_single_core={ess_rate / DENOM_ESS_PER_SEC:7.2f}x"
     )

@@ -295,3 +295,42 @@ class TestJordanWigner:
         assert e.mean() == pytest.approx(exact, abs=max(5 * sem, 0.25)), (
             e.mean(), exact,
         )
+
+
+class TestClusterEvery:
+    """``cluster_every`` thinning (a fixed schedule of detailed-balance
+    updates) must sample the same distribution as the reference composition
+    and keep worldlines valid."""
+
+    def test_thinned_matches_reference_composition(self):
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+        edges = lattice.bench_two_d_periodic(4)
+
+        def run(k, seed):
+            g = QmcIsingGraph(edges, transverse=1.0, replicas=64, seed=seed)
+            g.sse, _, _, _ = multi_sweep(
+                g.sse, jnp.float32(1.0), g.model, 20
+            )
+            g._maybe_grow()
+            g.sse, ns, _, _ = multi_sweep(
+                g.sse, jnp.float32(1.0), g.model, 120, cluster_every=k
+            )
+            assert g.verify()
+            return float(jnp.mean(ns[40:]))
+
+        n1 = run(1, 3)
+        n3 = run(3, 4)
+        assert abs(n1 - n3) / n1 < 0.05, (n1, n3)
+
+    def test_set_cluster_every_public_path(self):
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        g = QmcIsingGraph(
+            lattice.bench_two_d_periodic(4), transverse=1.0, replicas=16,
+            seed=5,
+        )
+        g.set_cluster_every(2)
+        e = g.timesteps(40, 1.0)
+        assert g.verify()
+        assert e.shape == (16,)
