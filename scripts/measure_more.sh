@@ -38,5 +38,8 @@ probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run ess32 3000 NONE=1 python scripts/ess32.py 32 64,128,256,512
 probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run ess32_kernel 3000 ISING_DIAG_KERNEL=1 python scripts/ess32.py 32 64,256
+probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
+run ess32_k2 3000 NONE=1 python scripts/ess32.py 32 256 16 2
+run ess32_k3 3000 NONE=1 python scripts/ess32.py 32 256 16 3
 echo "[measure_more] done" >&2
 date > "$OUT/done_at.txt"
