@@ -125,6 +125,81 @@ def load_qmc_ising(path: str, *, seed: int | None = None):
     return graph
 
 
+def save_qmc(path: str, qmc, *, strip_rng: bool = False) -> None:
+    """Checkpoint a generic :class:`~isingmontecarlo_tpu.sse.runner.Qmc`
+    (the reference's ``Qmc`` derives serde too, ``qmc_runner.rs:25``).
+
+    The stored matrices are the post-offset ones, so the accumulated offset
+    is saved verbatim and never re-derived on load."""
+    sse = qmc._ensure_sse()
+    if strip_rng:
+        sse = sse._replace(key=jax.random.key(0))
+    mats = [np.asarray(m, np.float64) for m, _ in qmc._interactions]
+    vars_ = [v for _, v in qmc._interactions]
+    save_pytree(
+        path,
+        sse,
+        nvars=qmc.nvars,
+        replicas=qmc.replicas,
+        offset=qmc.offset,
+        do_loop_updates=qmc.do_loop_updates,
+        do_heatbath=qmc._do_heatbath,
+        int_diag=np.asarray([m.ndim == 1 for m in mats], bool),
+        int_mat_sizes=np.asarray([m.size for m in mats], np.int64),
+        int_mats=(
+            np.concatenate([m.reshape(-1) for m in mats])
+            if mats else np.zeros((0,), np.float64)
+        ),
+        int_var_counts=np.asarray([len(v) for v in vars_], np.int64),
+        int_vars=(
+            np.concatenate([np.asarray(v, np.int64) for v in vars_])
+            if vars_ else np.zeros((0,), np.int64)
+        ),
+        strip_rng=strip_rng,
+    )
+
+
+def load_qmc(path: str, *, seed: int | None = None):
+    """Restore a generic ``Qmc`` from :func:`save_qmc` output."""
+    from isingmontecarlo_tpu.sse.ising import SseState
+    from isingmontecarlo_tpu.sse.opstring import OpString
+    from isingmontecarlo_tpu.sse.runner import Qmc
+
+    like = SseState(
+        ops=OpString(bond=0, inputs=0, outputs=0), state=0, key=jax.random.key(0)
+    )
+    sse, meta = load_pytree(path, like)
+    q = Qmc(
+        int(meta["nvars"]),
+        replicas=int(meta["replicas"]),
+        seed=seed or 0,
+        do_loop_updates=bool(meta["do_loop_updates"]),
+    )
+    mats_flat = meta["int_mats"]
+    vars_flat = meta["int_vars"]
+    mo = vo = 0
+    for diag, msize, vcount in zip(
+        meta["int_diag"], meta["int_mat_sizes"], meta["int_var_counts"]
+    ):
+        mat = mats_flat[mo : mo + int(msize)]
+        vars_ = [int(v) for v in vars_flat[vo : vo + int(vcount)]]
+        mo += int(msize)
+        vo += int(vcount)
+        if bool(diag):
+            q.make_diagonal_interaction(mat, vars_)
+        else:
+            n = 1 << len(vars_)
+            q.make_interaction(mat.reshape(n, n), vars_)
+    q.offset = float(meta["offset"])
+    q._model = None  # offset participates in the compiled tables
+    if bool(meta["do_heatbath"]):
+        q.set_do_heatbath(True)
+    if bool(meta["strip_rng"]) or seed is not None:
+        sse = sse._replace(key=jax.random.key(seed or 0))
+    q._sse = sse
+    return q
+
+
 def save_tempering(path: str, container, *, strip_rng: bool = False) -> None:
     """Checkpoint a ``TemperingContainer`` (state + per-replica betas +
     swap bookkeeping), mirroring ``SerializeTemperingContainer``."""

@@ -544,6 +544,19 @@ class Qmc:
     def state_ref(self) -> jax.Array:
         return self._ensure_sse().state
 
+    # -- checkpointing (the reference serde derive, qmc_runner.rs:25) -------
+
+    def save(self, path: str, *, strip_rng: bool = False) -> None:
+        from isingmontecarlo_tpu import checkpoint as _ckpt
+
+        _ckpt.save_qmc(path, self, strip_rng=strip_rng)
+
+    @classmethod
+    def load(cls, path: str, *, seed: int | None = None) -> "Qmc":
+        from isingmontecarlo_tpu import checkpoint as _ckpt
+
+        return _ckpt.load_qmc(path, seed=seed)
+
     def get_bond_count(self, bond: int) -> jax.Array:
         return _ops.bond_counts(self._ensure_sse().ops, self.model.nbonds)[:, bond]
 

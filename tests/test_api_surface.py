@@ -346,3 +346,51 @@ class TestHamInfoAndManager:
             q.clone_state(), np.tile([True, False, True], (4, 1))
         )
         assert q.get_manager_ref().cutoff == q.get_cutoff()
+
+
+class TestGenericQmcCheckpoint:
+    """serde coverage of the generic engine (``qmc_runner.rs:25``)."""
+
+    def test_roundtrip_resume_deterministic(self, tmp_path):
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        def build(seed):
+            q = Qmc(4, replicas=8, seed=seed, do_loop_updates=True)
+            for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+                q.make_diagonal_interaction_and_offset(
+                    np.array([1.0, 0.0, 0.0, 1.0]), [a, b]
+                )
+            for v in range(4):
+                q.make_interaction(np.full((2, 2), 0.8), [v])
+            return q
+
+        q = build(13)
+        q.timesteps(15, 1.2)
+        path = str(tmp_path / "qmc.npz")
+        q.save(path)
+        q2 = Qmc.load(path)
+        assert q2.nvars == 4 and q2.do_loop_updates
+        assert q2.get_offset() == pytest.approx(q.get_offset())
+        assert np.array_equal(q2.clone_state(), q.clone_state())
+        assert np.array_equal(
+            np.asarray(q2._sse.ops.bond), np.asarray(q._sse.ops.bond)
+        )
+        # Identical resumed trajectories (same key).
+        q.timesteps(5, 1.2)
+        q2.timesteps(5, 1.2)
+        assert np.array_equal(q.clone_state(), q2.clone_state())
+        assert q2.verify()
+
+    def test_strip_rng_reseeds(self, tmp_path):
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(3, replicas=4, seed=2)
+        q.make_diagonal_interaction_and_offset([1.0, 0.0, 0.0, 1.0], [0, 1])
+        q.make_interaction(np.full((2, 2), 0.5), [2])
+        q.timesteps(8, 1.0)
+        path = str(tmp_path / "qmc.npz")
+        q.save(path, strip_rng=True)
+        q2 = Qmc.load(path, seed=77)
+        assert q2.verify()
+        q2.timesteps(4, 1.0)
+        assert q2.verify()
