@@ -110,7 +110,7 @@ _SPEC_WINDOW = 128
 _SPEC_BLOCK = 128
 
 
-def _parallel_weights(ops, state, u1, model, hb, heatbath):
+def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None):
     """Everything the diagonal sweep needs per slot, computed upfront.
 
     Key fact: a diagonal sweep only inserts/removes *diagonal* ops, which do
@@ -121,6 +121,11 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     parallel: spin of var v just below slot p = state[v] XOR (parity of
     off-diagonal flips on v's worldline before p), an exclusive segmented
     XOR-scan along imaginary time. Returns ``(b_new, bits_new, w_new)``.
+
+    The variable-wide parity tensors are the memory peak; when
+    ``M * R * N`` exceeds the element cap they are computed in M-chunks
+    threaded by an XOR parity carry (exact — XOR is associative), so the
+    fast path works at any replica count with bounded memory.
     """
     M, R = ops.bond.shape
     K = ops.max_legs
@@ -162,31 +167,23 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
     vq = model.bond_vars[b_new]  # [M, R, K]
     q_ok = vq >= 0
     vq_s = jnp.where(q_ok, vq, 0)
+    cap = max_elems or (
+        _PAR_MAX_ELEMS_PACKED if on_tpu else _PAR_MAX_ELEMS
+    )
+    n_chunks = max(1, -(-(M * R * N) // cap))
+    Mc = -(-M // n_chunks)
+
     if on_tpu:
         # Bit-packed MXU form: variables pack 16-per-int32-word, so the
-        # XOR scan runs over [M, R, W] ints (W = ceil(N/16), 4x less HBM
-        # traffic than the bool [M, R, N] form) and all one-hot tensors are
-        # W-wide, not N-wide. Exactness: toggle construction multiplies 0/1
-        # by a power of two (exact in bf16) and sums at most K distinct-bit
+        # XOR scan runs over [Mc, R, W] ints (W = ceil(N/16), 4x less HBM
+        # traffic than the bool form) and all one-hot tensors are W-wide,
+        # not N-wide. Exactness: toggle construction multiplies 0/1 by a
+        # power of two (exact in bf16) and sums at most K distinct-bit
         # terms in f32; the word fetch matches exactly one word, with word
         # values split into byte planes (< 256, exact in bf16) and
         # recombined in f32.
         W = -(-N // 16)
         iota_w = jnp.arange(W, dtype=jnp.int32)
-        bitw = (1 << (v_idx % 16)).astype(jnp.bfloat16)  # exact powers of two
-        oh_vw = jnp.where(
-            (v_idx // 16)[..., None] == iota_w, bitw[..., None], 0.0
-        ).astype(jnp.bfloat16)  # [M, R, K, W]
-        flips_w = jnp.einsum(
-            "mrk,mrkw->mrw",
-            tog.astype(jnp.bfloat16),
-            oh_vw,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        inc = jax.lax.associative_scan(jax.lax.bitwise_xor, flips_w, axis=0)
-        par_w = jnp.concatenate(
-            [jnp.zeros((1, R, W), jnp.int32), inc[:-1]], axis=0
-        )
         state_w = jnp.einsum(
             "rn,nw->rw",
             state.astype(jnp.bfloat16),
@@ -197,38 +194,83 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath):
             ).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [R, W]
-        planes = jnp.stack(
-            [
-                par_w >> 8,
-                par_w & 0xFF,
-                jnp.broadcast_to((state_w >> 8)[None], (M, R, W)),
-                jnp.broadcast_to((state_w & 0xFF)[None], (M, R, W)),
-            ],
-            axis=-1,
-        ).astype(jnp.bfloat16)  # [M, R, W, 4] byte planes, < 256 each
-        oh_qw = ((vq_s // 16)[..., None] == iota_w).astype(jnp.bfloat16)
-        words = jnp.einsum(
-            "mrwd,mrkw->mrkd",
-            planes,
-            oh_qw,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [M, R, K, 4]
-        bit = vq_s % 16
-        pb = (((words[..., 0] << 8) | words[..., 1]) >> bit) & 1 == 1
-        sb = (((words[..., 2] << 8) | words[..., 3]) >> bit) & 1 == 1
+
+        def chunk_packed(c0, c1, par0):
+            mc = c1 - c0
+            bitw = (1 << (v_idx[c0:c1] % 16)).astype(jnp.bfloat16)
+            oh_vw = jnp.where(
+                (v_idx[c0:c1] // 16)[..., None] == iota_w,
+                bitw[..., None], 0.0,
+            ).astype(jnp.bfloat16)  # [Mc, R, K, W]
+            flips_w = jnp.einsum(
+                "mrk,mrkw->mrw",
+                tog[c0:c1].astype(jnp.bfloat16),
+                oh_vw,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            inc = jax.lax.associative_scan(
+                jax.lax.bitwise_xor, flips_w, axis=0
+            )
+            par_w = par0[None] ^ jnp.concatenate(
+                [jnp.zeros((1, R, W), jnp.int32), inc[:-1]], axis=0
+            )
+            planes = jnp.stack(
+                [
+                    par_w >> 8,
+                    par_w & 0xFF,
+                    jnp.broadcast_to((state_w >> 8)[None], (mc, R, W)),
+                    jnp.broadcast_to((state_w & 0xFF)[None], (mc, R, W)),
+                ],
+                axis=-1,
+            ).astype(jnp.bfloat16)  # [Mc, R, W, 4] byte planes, < 256 each
+            vq_c = vq_s[c0:c1]
+            oh_qw = ((vq_c // 16)[..., None] == iota_w).astype(jnp.bfloat16)
+            words = jnp.einsum(
+                "mrwd,mrkw->mrkd",
+                planes,
+                oh_qw,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # [Mc, R, K, 4]
+            bit = vq_c % 16
+            pb = (((words[..., 0] << 8) | words[..., 1]) >> bit) & 1 == 1
+            sb = (((words[..., 2] << 8) | words[..., 3]) >> bit) & 1 == 1
+            return pb, sb, par0 ^ inc[-1]
+
+        chunk_fn = chunk_packed
+        carry = jnp.zeros((R, W), jnp.int32)
     else:
-        p_idx = jnp.broadcast_to(
-            jnp.arange(M, dtype=jnp.int32)[:, None, None], (M, R, K)
-        )
-        flips = jnp.zeros((M, R, N), bool).at[p_idx, r_idx, v_idx].max(
-            tog, mode="drop"
-        )
-        inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
-        par_excl = jnp.concatenate(
-            [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
-        )
-        pb = jnp.take_along_axis(par_excl, vq_s, axis=2)  # [M, R, K]
-        sb = state[r_idx, vq_s]
+
+        def chunk_unpacked(c0, c1, par0):
+            mc = c1 - c0
+            p_idx = jnp.broadcast_to(
+                jnp.arange(mc, dtype=jnp.int32)[:, None, None], (mc, R, K)
+            )
+            flips = jnp.zeros((mc, R, N), bool).at[
+                p_idx, r_idx[c0:c1], v_idx[c0:c1]
+            ].max(tog[c0:c1], mode="drop")
+            inc = jax.lax.associative_scan(jnp.logical_xor, flips, axis=0)
+            par_excl = par0[None] ^ jnp.concatenate(
+                [jnp.zeros((1, R, N), bool), inc[:-1]], axis=0
+            )
+            vq_c = vq_s[c0:c1]
+            pb = jnp.take_along_axis(par_excl, vq_c, axis=2)  # [Mc, R, K]
+            sb = state[r_idx[c0:c1], vq_c]
+            return pb, sb, par0 ^ inc[-1]
+
+        chunk_fn = chunk_unpacked
+        carry = jnp.zeros((R, N), bool)
+
+    if n_chunks == 1:
+        pb, sb, _ = chunk_fn(0, M, carry)
+    else:
+        pbs, sbs = [], []
+        for c in range(n_chunks):
+            c0, c1 = c * Mc, min((c + 1) * Mc, M)
+            pb_c, sb_c, carry = chunk_fn(c0, c1, carry)
+            pbs.append(pb_c)
+            sbs.append(sb_c)
+        pb = jnp.concatenate(pbs, axis=0)
+        sb = jnp.concatenate(sbs, axis=0)
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]
     weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
     si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
@@ -464,24 +506,14 @@ def diagonal_update(
     bond_scale: jax.Array | None = None,  # f32[R, NB]
     unroll: int = 4,
 ) -> OpString:
-    """One full diagonal sweep (dispatcher). Uses the precomputed-weights
-    fast path when its [M, R, N] parity tensor fits the element cap, else
-    the sequential full scan; both run the identical Markov chain."""
-    M, R = ops.bond.shape
-    packed = (
-        _FORCE_PACKED
-        if _FORCE_PACKED is not None
-        else jax.default_backend() == "tpu"
-    )
-    cap = _PAR_MAX_ELEMS_PACKED if packed else _PAR_MAX_ELEMS
-    if M * R * model.nvars <= cap:
-        return _diagonal_update_fast(
-            ops, state, beta, key, model, hb=hb, heatbath=heatbath,
-            bond_scale=bond_scale,
-        )
-    return _diagonal_update_scan(
+    """One full diagonal sweep (dispatcher). The precomputed-weights fast
+    path chunks its parity tensors to the element cap, so it applies at any
+    size; the sequential full scan (`_diagonal_update_scan`) remains as the
+    equivalence oracle. Both run the identical Markov chain."""
+    del unroll
+    return _diagonal_update_fast(
         ops, state, beta, key, model, hb=hb, heatbath=heatbath,
-        bond_scale=bond_scale, unroll=unroll,
+        bond_scale=bond_scale,
     )
 
 

@@ -170,3 +170,38 @@ def test_carry_kernel_matches_scan(heatbath, replicas, monkeypatch):
     assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
     assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
     assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+@pytest.mark.parametrize("packed,heatbath", [(False, False), (True, False),
+                                             (False, True)])
+def test_chunked_precompute_matches_unchunked(packed, heatbath, monkeypatch):
+    """Forcing a tiny element cap splits the parity precompute into many
+    M-chunks threaded by the XOR carry; decisions must stay bit-identical
+    to the sequential scan."""
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=8, seed=9)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    hbt = _diag.make_heatbath_tables(model) if heatbath else None
+    key = jax.random.key(7)
+    a = _diag._diagonal_update_scan(
+        ops, state, jnp.float32(1.2), key, model, hb=hbt, heatbath=heatbath
+    )
+    M = ops.bond.shape[0]
+    # cap forcing ~7 chunks
+    cap = (M // 7 + 1) * 8 * model.nvars
+    monkeypatch.setattr(_diag, "_FORCE_PACKED", packed)
+    monkeypatch.setattr(_diag, "_PAR_MAX_ELEMS", cap)
+    monkeypatch.setattr(_diag, "_PAR_MAX_ELEMS_PACKED", cap)
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(1.2), key, model,
+            hb=hbt, heatbath=heatbath,
+        )
+    finally:
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
