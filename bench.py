@@ -154,13 +154,17 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     }
 
 
-def bench_suite() -> None:
+def bench_suite(json_path: str | None = None) -> None:
     """Reference-workload table mirroring ``benches/end_to_end.rs``:
     per-replica-timestep cost for the crate's benchmark configs (the
     reference reports ns/iter for one sequential timestep; here the cost is
-    amortized over the replica batch). Printed to stderr."""
+    amortized over the replica batch). Printed to stderr; optionally also
+    appended as JSON lines to ``json_path`` for machine comparison across
+    rounds."""
     from isingmontecarlo_tpu import lattice
     from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+    rows = []
 
     def measure(name, edges, beta, replicas, heatbath=False, rvb=0, warm=8):
         g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=1234)
@@ -208,6 +212,15 @@ def bench_suite() -> None:
             f"(R={replicas}, cutoff={g.cutoff}, n~{float(jnp.mean(ns[-1])):.0f})",
             file=sys.stderr,
         )
+        rows.append(
+            {
+                "workload": name.split()[0],
+                "ns_per_replica_timestep": per * 1e9,
+                "replicas": replicas,
+                "cutoff": g.cutoff,
+                "mean_n": float(jnp.mean(ns[-1])),
+            }
+        )
 
     def safe(name, *a, **kw):
         try:
@@ -249,6 +262,10 @@ def bench_suite() -> None:
         "two_d_heatbath_32", lattice.bench_two_d_periodic(32), 1.0, 64,
         heatbath=True,
     )
+    if json_path:
+        with open(json_path, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
 
 
 def main() -> None:
@@ -258,6 +275,10 @@ def main() -> None:
     ap.add_argument(
         "--suite", action="store_true",
         help="also run the reference benchmark workload table (stderr)",
+    )
+    ap.add_argument(
+        "--suite-json", default=None,
+        help="append suite rows as JSON lines to this path",
     )
     args = ap.parse_args()
 
@@ -304,8 +325,8 @@ def main() -> None:
             except Exception as e:
                 print(f"sse 32x32 diagnostic failed: {e}", file=sys.stderr)
 
-    if args.suite:
-        bench_suite()
+    if args.suite or args.suite_json:
+        bench_suite(args.suite_json)
 
 
 if __name__ == "__main__":
