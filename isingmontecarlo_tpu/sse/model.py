@@ -18,7 +18,7 @@ TFIM bond layout mirrors ``src/sse/qmc_ising.rs:186-205``:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
