@@ -29,6 +29,9 @@
 // integrated-autocorrelation methodology as bench.py.
 //
 // Usage: ref_single_core L beta warmup steps [seed] [--check] [--dump-n]
+//        [--edges FILE]   (FILE: "nvars ne" then ne lines "a b J"; replaces
+//                          the benchmark lattice — for differential testing
+//                          against the JAX engine on arbitrary graphs)
 
 #include <cstdint>
 #include <cstdio>
@@ -444,12 +447,36 @@ int main(int argc, char** argv) {
     int steps = std::atoi(argv[4]);
     uint64_t seed = argc > 5 ? std::strtoull(argv[5], nullptr, 10) : 1234;
     bool check = false, dump_n = false;
+    const char* edges_file = nullptr;
     for (int i = 5; i < argc; ++i) {
         if (!std::strcmp(argv[i], "--check")) check = true;
         if (!std::strcmp(argv[i], "--dump-n")) dump_n = true;
+        if (!std::strcmp(argv[i], "--edges") && i + 1 < argc)
+            edges_file = argv[++i];
     }
 
-    Sim sim(two_d_periodic(L), beta, L, seed);  // initial cutoff = L, as bench
+    Lattice lat;
+    if (edges_file) {
+        std::FILE* f = std::fopen(edges_file, "r");
+        if (!f) {
+            std::fprintf(stderr, "cannot open %s\n", edges_file);
+            return 2;
+        }
+        int ne = 0;
+        if (std::fscanf(f, "%d %d", &lat.nvars, &ne) != 2) return 2;
+        for (int i = 0; i < ne; ++i) {
+            int a, b;
+            double j;
+            if (std::fscanf(f, "%d %d %lf", &a, &b, &j) != 3) return 2;
+            lat.ea.push_back(a);
+            lat.eb.push_back(b);
+            lat.ej.push_back(j);
+        }
+        std::fclose(f);
+    } else {
+        lat = two_d_periodic(L);
+    }
+    Sim sim(std::move(lat), beta, L, seed);  // initial cutoff = L, as bench
     for (int t = 0; t < warmup; ++t) {
         sim.timestep();
         if (check && !sim.verify()) {

@@ -70,3 +70,37 @@ def test_beta_scaling_sanity(binary):
         .split("energy_per_site=")[1].split()[0]
     )
     assert e(out2) < e(out1)
+
+
+def test_random_graph_differential(binary, tmp_path):
+    """Differential test on a random weighted graph: the C++ single-chain
+    engine and the batched JAX engine must agree on the energy within
+    statistical tolerance (catches coupling-sign or weight-table bias in
+    either implementation)."""
+    rng = np.random.default_rng(17)
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    idx = rng.choice(len(pairs), size=12, replace=False)
+    edges = [
+        ((int(pairs[i][0]), int(pairs[i][1])),
+         float(np.round(rng.uniform(-1.5, 1.5), 3)))
+        for i in idx
+    ]
+    nvars = 1 + max(max(a, b) for (a, b), _ in edges)
+    path = tmp_path / "edges.txt"
+    with open(path, "w") as f:
+        f.write(f"{nvars} {len(edges)}\n")
+        for (a, b), j in edges:
+            f.write(f"{a} {b} {j}\n")
+
+    out = run(binary, 8, 1.0, 500, 8000, 3, "--check", "--edges", str(path))
+    line = [l for l in out.splitlines() if l.startswith("summary")][0]
+    assert "verify=1" in line
+    e_cpp = float(line.split("energy_per_site=")[1].split()[0])
+
+    from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=64, seed=5)
+    g.timesteps(150, 1.0)
+    es = [np.asarray(g.timesteps(1, 1.0)) for _ in range(120)]
+    e_jax = float(np.mean(es)) / nvars
+    assert e_cpp == pytest.approx(e_jax, abs=0.05), (e_cpp, e_jax)
