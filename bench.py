@@ -21,14 +21,57 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 sys.path.insert(0, "/root/repo")
+
+
+def _wait_for_tpu(max_wait_s: float) -> None:
+    """Block until the axon TPU tunnel answers a tiny op, up to
+    ``max_wait_s`` seconds. The tunnel drops intermittently (CLAUDE.md); if
+    the driver lands in such a window, failing fast would lose the round's
+    benchmark record entirely. Probing in a subprocess keeps a failed
+    backend init from poisoning this process's JAX state; on timeout we
+    fall through and let JAX pick whatever backend it can."""
+    probe = (
+        "import jax; assert jax.devices()[0].platform == 'tpu'; "
+        "import jax.numpy as jnp; "
+        "assert float(jnp.sum(jnp.arange(8.0))) == 28.0"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", probe],
+                    timeout=120,
+                    env=env,
+                    cwd="/root/repo",
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        if time.monotonic() >= deadline:
+            print("bench: TPU probe never passed; continuing", file=sys.stderr)
+            return
+        print("bench: waiting for TPU tunnel...", file=sys.stderr)
+        time.sleep(30)
+
+
+_wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from isingmontecarlo_tpu.classical import metropolis as _metro  # noqa: E402
 
