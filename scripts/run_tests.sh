@@ -9,7 +9,15 @@
 set -u
 cd "$(dirname "$0")/.."
 fail=0
+# Optional CPU-yield gate: with YIELD_WHILE=<file> set, pause between test
+# files while <file> exists (one CPU core — don't starve a TPU measurement
+# pass that just got the tunnel; see CLAUDE.md).
+gate() {
+  [ -n "${YIELD_WHILE:-}" ] || return 0
+  while [ -e "$YIELD_WHILE" ]; do sleep 60; done
+}
 for f in tests/test_*.py; do
+  gate
   for attempt in 1 2; do
     python -m pytest "$f" -q --no-header -p no:cacheprovider
     code=$?
