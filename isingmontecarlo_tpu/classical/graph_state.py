@@ -72,8 +72,18 @@ class GraphState:
 
     @classmethod
     def new_with_state(cls, state, edges, biases, *, replicas: int = 1, seed: int = 0):
-        """Mirror of ``GraphState::new_with_state_and_rng`` (``graph.rs:63-88``)."""
+        """Seeded variant of ``GraphState::new_with_state_and_rng``
+        (``graph.rs:62-88``)."""
         return cls(edges, biases, replicas=replicas, seed=seed, state=state)
+
+    @classmethod
+    def new_with_state_and_rng(cls, state, edges, biases, rng_key, *, replicas: int = 1):
+        """Mirror of ``GraphState::new_with_state_and_rng`` (``graph.rs:62-88``):
+        like :meth:`new_with_state` but with an explicit PRNG key (the
+        reference's caller-supplied ``R: Rng``)."""
+        self = cls(edges, biases, replicas=replicas, seed=0, state=state)
+        self._key = rng_key
+        return self
 
     # -- moves -------------------------------------------------------------
 

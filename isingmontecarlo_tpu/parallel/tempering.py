@@ -46,6 +46,51 @@ from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
 N_CLASSES = 3  # two-site, transverse, longitudinal (qmc_ising.rs:186-205)
 
 
+def new_with_rng(seed: int = 0) -> "TemperingContainer":
+    """Empty container for incremental filling (``new_with_rng``,
+    ``tempering_container.rs:36-39``)."""
+    return TemperingContainer.new(seed)
+
+
+def new_thread_rng() -> "TemperingContainer":
+    """Empty container seeded from OS entropy (``new_thread_rng``,
+    ``tempering_container.rs:41-44``)."""
+    import os
+
+    return TemperingContainer.new(int.from_bytes(os.urandom(4), "little"))
+
+
+def _relative_scales(base, q) -> tuple[float, float, float]:
+    """Per-class Hamiltonian multipliers of ``q`` relative to ``base`` —
+    (coupling, transverse, longitudinal). Raises ``ValueError`` when the
+    graphs are not class-proportional (then no label-swap representation
+    exists; the reference walks every bond instead,
+    ``tempering_traits.rs:117-155``)."""
+
+    def ratio(a: float, b: float, what: str) -> float:
+        if abs(a) < 1e-12 and abs(b) < 1e-12:
+            return 1.0
+        if abs(a) < 1e-12:
+            raise ValueError(f"cannot temper {what} against a zero base value")
+        return b / a
+
+    if base.edges:
+        r = np.array(
+            [ratio(jb, jq, "couplings")
+             for (_, jb), (_, jq) in zip(base.edges, q.edges)]
+        )
+        if np.max(np.abs(r - r[0])) > 1e-9 * max(1.0, abs(float(r[0]))):
+            raise ValueError(
+                "couplings must be a uniform multiple of the first graph's"
+            )
+        cs = float(r[0])
+    else:
+        cs = 1.0
+    ts = ratio(base.transverse, q.transverse, "transverse field")
+    ls = ratio(base.longitudinal, q.longitudinal, "longitudinal field")
+    return cs, ts, ls
+
+
 def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
     """i32[NB] class id per bond for the TFIM layout."""
     cls = np.full(nbonds, 2, np.int32)
@@ -163,6 +208,100 @@ class TemperingContainer:
         self._key = jax.random.key(seed + 0x7E47)
         self._heatbath = False
         self._hb = None
+        self._pending = None  # incremental graphs live only on `new()` builders
+
+    # -- incremental construction (tempering_container.rs:53-74) ------------
+
+    @classmethod
+    def new(cls, seed: int = 0) -> "TemperingContainer":
+        """Empty container to be filled with :meth:`add_qmc_stepper`
+        (``TemperingContainer::new``, ``tempering_container.rs:53-61``)."""
+        self = object.__new__(cls)
+        self._pending = []
+        self._seed = int(seed)
+        self.graph = None
+        self.betas = None
+        self.hetero = False
+        self._parity = 0
+        self.total_swaps = 0
+        self._heatbath = False
+        self._hb = None
+        return self
+
+    def add_qmc_stepper(self, q: QmcIsingGraph, beta: float) -> None:
+        """Append a graph at inverse temperature ``beta``
+        (``add_qmc_stepper``, ``tempering_container.rs:65-74``). Raises
+        ``ValueError`` where the reference returns ``Err``: incompatible
+        shapes, different edge sets, or couplings that are not a uniform
+        multiple of the first graph's (the label-swap design tracks
+        per-*class* multipliers, see the module docstring)."""
+        if self._pending is None or self.graph is not None:
+            raise ValueError("container already materialized; add graphs first")
+        if self._pending:
+            base = self._pending[0][0]
+            if q.nvars != base.nvars or q.model.nbonds != base.model.nbonds:
+                raise ValueError("graph shapes do not match the ladder")
+            if [tuple(e) for e, _ in q.edges] != [tuple(e) for e, _ in base.edges]:
+                raise ValueError("graphs must share the edge set")
+            _relative_scales(base, q)  # raises when not class-proportional
+        self._pending.append((q, float(beta)))
+
+    def _finalize(self) -> None:
+        """Materialize graphs added via :meth:`add_qmc_stepper` into the
+        batched replica-axis form (states stacked, op strings grown to the
+        max cutoff and concatenated — the reference syncs cutoffs before
+        swapping too, ``tempering_container.rs:129-137``)."""
+        if self._pending is None:
+            return
+        if not self._pending:
+            raise ValueError("no graphs added to the tempering container")
+        pend, self._pending = self._pending, None
+        base = pend[0][0]
+        R = sum(q.replicas for q, _ in pend)
+        max_m = max(q.cutoff for q, _ in pend)
+        state = np.concatenate([np.asarray(q.sse.state) for q, _ in pend])
+        g = QmcIsingGraph(
+            base.edges, base.transverse, base.longitudinal, max_m,
+            replicas=R, seed=self._seed, state=state,
+        )
+        grown = [_ops.grow(q.sse.ops, max_m) for q, _ in pend]
+        g.sse = g.sse._replace(
+            ops=type(grown[0])(
+                bond=jnp.concatenate([o.bond for o in grown], axis=1),
+                inputs=jnp.concatenate([o.inputs for o in grown], axis=2),
+                outputs=jnp.concatenate([o.outputs for o in grown], axis=2),
+            )
+        )
+        g._growth_pending = True
+        self.graph = g
+        self.betas = jnp.asarray(
+            np.concatenate([np.full(q.replicas, b, np.float32) for q, b in pend])
+        )
+        sc = np.concatenate(
+            [
+                np.tile(
+                    np.asarray(_relative_scales(base, q), np.float32)[None],
+                    (q.replicas, 1),
+                )
+                for q, _ in pend
+            ]
+        )
+        self.hetero = bool(np.max(np.abs(sc - 1.0)) > 1e-12)
+        self.scales = jnp.asarray(sc)
+        m = g.model
+        self.bond_class = tfim_bond_classes(len(base.edges), m.nvars, m.nbonds)
+        self._key = jax.random.key(self._seed + 0x7E47)
+        if self._heatbath:
+            self.set_enable_heatbath(True)
+
+    @property
+    def rng_key(self) -> jax.Array:
+        """The container's PRNG key (``rng_mut``, ``tempering_container.rs:236``)."""
+        return self._key
+
+    @rng_key.setter
+    def rng_key(self, key) -> None:
+        self._key = key
 
     def set_enable_heatbath(self, enable: bool) -> None:
         """Heat-bath diagonal updates for the whole ladder
@@ -172,6 +311,8 @@ class TemperingContainer:
         from isingmontecarlo_tpu.sse import diagonal as _diag
 
         self._heatbath = enable
+        if self._pending is not None:
+            return  # deferred until the added graphs are materialized
         if enable:
             self._hb = _diag.make_heatbath_tables(
                 self.graph.model, self._bond_scale()
@@ -181,6 +322,7 @@ class TemperingContainer:
 
     @property
     def replicas(self) -> int:
+        self._finalize()
         return self.graph.replicas
 
     def _split(self):
@@ -199,6 +341,7 @@ class TemperingContainer:
         Starts in a per-step growth phase (see
         ``QmcIsingGraph.timesteps_measure``): a cold cutoff left truncated
         for a whole chunk biases the ensemble toward low op counts."""
+        self._finalize()
         done = 0
         g = self.graph
         stable = 2 if not g._growth_pending else 0
@@ -223,6 +366,7 @@ class TemperingContainer:
     # -- mirrors tempering_container.rs:121-163 ----------------------------
     def tempering_step(self) -> int:
         """One alternating-parity neighbor-swap sweep; returns swap count."""
+        self._finalize()
         n = _ops.op_count(self.graph.sse.ops)
         if self.hetero:
             bc = _ops.bond_counts(self.graph.sse.ops, self.graph.model.nbonds)
@@ -313,6 +457,7 @@ class TemperingContainer:
         replacement for the reference's rayon thread pool
         (``tempering_container.rs:315-478``). The swap step's cross-device
         traffic is only the tiny per-replica ``(n, beta)`` vectors."""
+        self._finalize()
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sse = self.graph.sse
@@ -332,6 +477,7 @@ class TemperingContainer:
 
     def states_by_temperature(self):
         """Current states ordered by ascending beta (temperature grouping)."""
+        self._finalize()
         order = np.argsort(np.asarray(self.betas))
         return np.asarray(self.graph.sse.state)[order], np.asarray(self.betas)[order]
 
@@ -340,6 +486,7 @@ class TemperingContainer:
     def iter_over_states(self, f) -> None:
         """Call ``f(state_row, beta)`` for every replica
         (``tempering_container.rs:211-216``)."""
+        self._finalize()
         states = np.asarray(self.graph.sse.state)
         betas = np.asarray(self.betas)
         for r in range(self.replicas):
@@ -348,14 +495,17 @@ class TemperingContainer:
     def graph_ref(self):
         """The batched graph and its per-replica betas — the analog of the
         reference's ``&[(Q, beta)]`` (``tempering_container.rs:219-221``)."""
+        self._finalize()
         return self.graph, self.betas
 
     def graph_mut(self):
         """``tempering_container.rs:223-225``."""
+        self._finalize()
         return self.graph, self.betas
 
     def num_graphs(self) -> int:
         """``tempering_container.rs:227-229``."""
+        self._finalize()
         return self.replicas
 
     def get_total_swaps(self) -> int:
@@ -363,4 +513,5 @@ class TemperingContainer:
         return self.total_swaps
 
     def verify(self) -> bool:
+        self._finalize()
         return self.graph.verify()

@@ -44,6 +44,13 @@ from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
 from isingmontecarlo_tpu.sse.tables import row_select, row_select3
 
+
+def is_valid_cluster_edge(is_constant, nvars):
+    """Whether an op can bound a cluster in imaginary time: constant
+    single-variable ops only (``is_valid_cluster_edge``,
+    ``cluster.rs:280-286``). Accepts scalars or arrays."""
+    return jnp.logical_and(jnp.asarray(is_constant), jnp.asarray(nvars) == 1)
+
 def _take0(arr, idx):
     """Gather along axis 0 with a [X, R] index grid."""
     return jnp.take_along_axis(arr, idx, axis=0)

@@ -456,6 +456,24 @@ class QmcIsingGraph:
             spins = jnp.broadcast_to(spins[None], (self.replicas, self.nvars))
         self.sse = self.sse._replace(state=spins)
 
+    def state_mut(self):
+        """Context manager yielding a mutable host copy of the p=0 state,
+        committed on exit (``state_mut``, ``qmc_ising.rs:497``; mutation is
+        explicit here because device arrays are immutable)::
+
+            with g.state_mut() as s:
+                s[:, 0] = True
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            s = np.asarray(self.sse.state).copy()
+            yield s
+            self.set_state(s)
+
+        return _ctx()
+
     def get_n(self) -> jax.Array:
         """Op count per replica ``i32[R]``."""
         return _ops.op_count(self.sse.ops)

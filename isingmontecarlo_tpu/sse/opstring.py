@@ -68,6 +68,35 @@ def grow(ops: OpString, new_cutoff: int) -> OpString:
     )
 
 
+def new_from_ops(
+    cutoff: int, ops, *, replicas: int | None = None, max_legs: int = 2
+) -> OpString:
+    """Bulk-build an op string from explicit ``(p, bond, inputs, outputs)``
+    tuples — the constructor tests and converters use
+    (``FastOpsTemplate::new_from_ops``, ``fast_ops.rs:80-173``).
+
+    ``ops`` is a flat iterable of tuples for a single replica, or — with
+    ``replicas`` given — one such iterable per replica. ``inputs`` /
+    ``outputs`` are per-leg spin sequences (length ≤ ``max_legs``)."""
+    import numpy as np
+
+    per_rep = [list(ops)] if replicas is None else [list(x) for x in ops]
+    if replicas is not None and len(per_rep) != replicas:
+        raise ValueError(f"expected {replicas} per-replica op lists")
+    R = len(per_rep)
+    bond = np.full((cutoff, R), -1, np.int32)
+    ins = np.zeros((max_legs, cutoff, R), bool)
+    outs = np.zeros((max_legs, cutoff, R), bool)
+    for r, lst in enumerate(per_rep):
+        for p, b, i_bits, o_bits in lst:
+            bond[p, r] = b
+            for leg, v in enumerate(i_bits):
+                ins[leg, p, r] = bool(v)
+            for leg, v in enumerate(o_bits):
+                outs[leg, p, r] = bool(v)
+    return OpString(jnp.asarray(bond), jnp.asarray(ins), jnp.asarray(outs))
+
+
 def op_count(ops: OpString) -> jax.Array:
     """``n`` per replica (``OpContainer::get_n``)."""
     return jnp.sum(ops.bond >= 0, axis=0).astype(jnp.int32)

@@ -59,6 +59,14 @@ _BIG = jnp.int32(2**30)
 _TINY = 1e-30
 MAX_POPS = 16
 
+
+def contiguous_bits(key: jax.Array, shape=()) -> jax.Array:
+    """Sample ``n`` with probability ``2^-(n+1)`` — the reference's
+    trailing-ones draw sizing RVB spacetime clusters (``contiguous_bits``,
+    ``rvb.rs:1190-1192``). Capped at 64 like a ``u64`` draw."""
+    u = jax.random.uniform(key, shape, minval=1e-19, maxval=1.0)
+    return jnp.clip(jnp.floor(-jnp.log2(u)).astype(jnp.int32), 0, 64)
+
 # Element-count gate for the vectorized acceptance+mutation path: it
 # materializes [M, R, NE] f32 and [M, R, K, N] one-hot tensors, so cap the
 # footprint (elements of the largest tensor); beyond it the chunked

@@ -394,3 +394,151 @@ class TestGenericQmcCheckpoint:
         assert q2.verify()
         q2.timesteps(4, 1.0)
         assert q2.verify()
+
+
+class TestIncrementalTempering:
+    """``TemperingContainer::new`` + ``add_qmc_stepper``
+    (``tempering_container.rs:53-74``) and the module constructors
+    (``:36-44``)."""
+
+    def _graphs(self, n=4, seed=0, transverse=1.0):
+        return [
+            QmcIsingGraph(lattice.chain(4, j=1.0), transverse=transverse,
+                          replicas=1, seed=seed + i)
+            for i in range(n)
+        ]
+
+    def test_incremental_build_runs_and_swaps(self):
+        from isingmontecarlo_tpu.parallel import tempering as pt
+
+        tc = pt.TemperingContainer.new(seed=3)
+        gs = self._graphs(4)
+        gs[0].timesteps(5, 1.0)  # one pre-grown graph: cutoffs sync on build
+        for i, g in enumerate(gs):
+            tc.add_qmc_stepper(g, 0.5 + i)
+        assert tc.num_graphs() == 4
+        assert not tc.hetero
+        tc.timesteps(10)
+        for _ in range(20):
+            tc.tempering_step()
+        assert tc.verify()
+        assert tc.get_total_swaps() >= 0
+        states, betas = tc.states_by_temperature()
+        assert states.shape == (4, 4) and betas.shape == (4,)
+
+    def test_incremental_heterogeneous_scales(self):
+        from isingmontecarlo_tpu.parallel import tempering as pt
+
+        tc = pt.new_with_rng(seed=1)
+        tc.set_enable_heatbath(True)  # deferred until materialization
+        base = QmcIsingGraph(lattice.chain(4, j=1.0), transverse=1.0, seed=0)
+        hot = QmcIsingGraph(lattice.chain(4, j=2.0), transverse=0.5, seed=1)
+        tc.add_qmc_stepper(base, 1.0)
+        tc.add_qmc_stepper(hot, 1.0)
+        tc.timesteps(5)
+        assert tc.hetero
+        sc = np.asarray(tc.scales)
+        np.testing.assert_allclose(sc[0], [1.0, 1.0, 1.0])
+        np.testing.assert_allclose(sc[1], [2.0, 0.5, 1.0], rtol=1e-6)
+        tc.tempering_step()
+        assert tc.verify()
+
+    def test_incompatible_graphs_rejected(self):
+        from isingmontecarlo_tpu.parallel import tempering as pt
+
+        tc = pt.TemperingContainer.new()
+        tc.add_qmc_stepper(
+            QmcIsingGraph(lattice.chain(4, j=1.0), transverse=1.0), 1.0
+        )
+        with pytest.raises(ValueError):
+            tc.add_qmc_stepper(
+                QmcIsingGraph(lattice.chain(6, j=1.0), transverse=1.0), 2.0
+            )
+        # non-proportional couplings: frustrate one bond only
+        edges = lattice.chain(4, j=1.0)
+        edges[0] = (edges[0][0], -1.0)
+        with pytest.raises(ValueError):
+            tc.add_qmc_stepper(QmcIsingGraph(edges, transverse=1.0), 2.0)
+        # zero-base scaling is rejected too
+        with pytest.raises(ValueError):
+            tc.add_qmc_stepper(
+                QmcIsingGraph(lattice.chain(4, j=1.0), transverse=1.0,
+                              longitudinal=0.3), 2.0
+            )
+        with pytest.raises(ValueError):
+            pt.TemperingContainer.new().timesteps(1)  # empty container
+
+    def test_rng_key_accessor(self):
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        import jax
+
+        tc = pt.new_thread_rng()
+        tc.add_qmc_stepper(
+            QmcIsingGraph(lattice.chain(4, j=1.0), transverse=1.0), 1.0
+        )
+        tc.timesteps(2)
+        tc.rng_key = jax.random.key(9)  # rng_mut, tempering_container.rs:236
+        before = tc.rng_key
+        tc.tempering_step()
+        assert not np.array_equal(
+            jax.random.key_data(before), jax.random.key_data(tc.rng_key)
+        )
+
+
+class TestSmallParityHelpers:
+    def test_new_from_ops_verifies(self):
+        from isingmontecarlo_tpu.sse import opstring as _ops
+
+        g = small_graph(replicas=1)
+        # Hand-built string: a diagonal two-site op on bond 0 (vars 0, 1 —
+        # anti-aligned, so the J=+1 weight |J|+J is positive) and a
+        # transverse (constant) op on var 2 (bond nedges + 2).
+        s = np.zeros((1, 4), bool)
+        s[0, 1] = True
+        nedges = len(g.edges)
+        ops = _ops.new_from_ops(
+            8,
+            [
+                (1, 0, (False, True), (False, True)),
+                (4, nedges + 2, (False,), (False,)),
+            ],
+            max_legs=g.model.max_legs,
+        )
+        assert int(np.asarray(_ops.op_count(ops))[0]) == 2
+        assert bool(np.asarray(_ops.verify(ops, np.asarray(s), g.model))[0])
+
+    def test_state_mut_commits(self):
+        g = small_graph(replicas=2)
+        with g.state_mut() as s:
+            s[:, :] = False
+            s[0, 1] = True
+        out = g.clone_state()
+        assert out[0, 1] and not out[1, 1] and not out[0, 0]
+
+    def test_is_valid_cluster_edge(self):
+        from isingmontecarlo_tpu.sse import cluster as _cl
+
+        assert bool(_cl.is_valid_cluster_edge(True, 1))
+        assert not bool(_cl.is_valid_cluster_edge(False, 1))
+        assert not bool(_cl.is_valid_cluster_edge(True, 2))
+
+    def test_contiguous_bits_distribution(self):
+        import jax
+        from isingmontecarlo_tpu.sse.rvb import contiguous_bits
+
+        n = np.asarray(contiguous_bits(jax.random.key(0), (20000,)))
+        assert n.min() >= 0 and n.max() <= 64
+        # P(n=0) = 1/2, mean = 1
+        assert abs((n == 0).mean() - 0.5) < 0.02
+        assert abs(n.mean() - 1.0) < 0.05
+
+    def test_graph_state_with_rng(self):
+        import jax
+        from isingmontecarlo_tpu.classical.graph_state import GraphState
+
+        edges = [((0, 1), 1.0), ((1, 2), 1.0)]
+        s = np.zeros((1, 3), bool)
+        g = GraphState.new_with_state_and_rng(s, edges, [0.0] * 3,
+                                              jax.random.key(5))
+        g.run_timesteps(3, 1.0)
+        assert g.get_state().shape == (1, 3)
