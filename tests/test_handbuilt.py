@@ -1,0 +1,134 @@
+"""Hand-built op-string crash tests — mirrors of the reference's
+``tests/check_loop_crash.rs`` and ``tests/cluster_test.rs``: seed a manager
+with explicit ops via ``new_from_ops``, hammer one update kind, and assert
+the ``verify()`` worldline oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isingmontecarlo_tpu import lattice
+from isingmontecarlo_tpu.sse import QmcIsingGraph
+from isingmontecarlo_tpu.sse import opstring as _ops
+from isingmontecarlo_tpu.sse.runner import Qmc
+
+# The loop-crash weight function (check_loop_crash.rs:22-29): 1 when
+# inputs == outputs or inputs == reversed(outputs), else 0. As a 4x4
+# interaction matrix (first var most significant):
+XX_MAT = np.array(
+    [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+
+
+def _hand_set(q: Qmc, op_list, state):
+    sse = q._ensure_sse()
+    ops = _ops.new_from_ops(8, op_list, max_legs=q.model.max_legs)
+    q._sse = sse._replace(ops=ops, state=jnp.asarray(state, bool))
+
+
+class TestLoopCrash:
+    def test_run_single_bond(self):
+        """check_loop_crash.rs:6-36: one diagonal op on bond (0,1), 100
+        directed-loop updates, verify."""
+        q = Qmc(2, seed=0, do_loop_updates=True)
+        q.make_interaction(XX_MAT, [0, 1])
+        _hand_set(q, [(0, 0, (False, False), (False, False))], [[False, False]])
+        for _ in range(100):
+            q.loop_update()
+        assert q.verify()
+
+    def test_run_double_bond(self):
+        """check_loop_crash.rs:38-71: chained bonds (0,1), (1,2)."""
+        q = Qmc(3, seed=0, do_loop_updates=True)
+        q.make_interaction(XX_MAT, [0, 1])
+        q.make_interaction(XX_MAT, [1, 2])
+        _hand_set(
+            q,
+            [
+                (0, 0, (False, False), (False, False)),
+                (1, 1, (False, False), (False, False)),
+            ],
+            [[False, False, False]],
+        )
+        for _ in range(100):
+            q.loop_update()
+        assert q.verify()
+
+
+class TestClusterHandbuilt:
+    def _graph(self):
+        g = QmcIsingGraph(
+            lattice.chain(2, j=1.0, periodic=False), transverse=1.0,
+            replicas=1, seed=3,
+        )
+        return g, len(g.edges)
+
+    def _run(self, g, steps=50):
+        flipped = False
+        s0 = g.clone_state()
+        for _ in range(steps):
+            g.single_cluster_step()
+            assert bool(np.asarray(g.verify()))
+            flipped = flipped or not np.array_equal(g.clone_state(), s0)
+        return flipped
+
+    def test_single_cluster(self):
+        """cluster_test.rs:7-21: one constant op on var 0."""
+        g, ne = self._graph()
+        ops = _ops.new_from_ops(
+            8, [(0, ne + 0, (False,), (False,))], max_legs=g.model.max_legs
+        )
+        g.sse = g.sse._replace(ops=ops, state=jnp.zeros((1, 2), bool))
+        assert self._run(g)  # the wrap-around cluster flips the p=0 state
+
+    def test_simple_cluster(self):
+        """cluster_test.rs:23-44: two constant ops on var 0."""
+        g, ne = self._graph()
+        ops = _ops.new_from_ops(
+            8,
+            [(0, ne + 0, (False,), (False,)), (1, ne + 0, (False,), (False,))],
+            max_legs=g.model.max_legs,
+        )
+        g.sse = g.sse._replace(ops=ops, state=jnp.zeros((1, 2), bool))
+        assert self._run(g)
+
+    def test_multi_cluster(self):
+        """cluster_test.rs:46-77: two constant ops on each of two vars."""
+        g, ne = self._graph()
+        ops = _ops.new_from_ops(
+            8,
+            [
+                (0, ne + 0, (False,), (False,)),
+                (1, ne + 0, (False,), (False,)),
+                (2, ne + 1, (False,), (False,)),
+                (3, ne + 1, (False,), (False,)),
+            ],
+            max_legs=g.model.max_legs,
+        )
+        g.sse = g.sse._replace(ops=ops, state=jnp.zeros((1, 2), bool))
+        assert self._run(g)
+
+    def test_cluster_flip_preserves_op_count(self):
+        """Cluster flips toggle diagonal/off-diagonal but never insert or
+        remove ops (cluster.rs:36-172)."""
+        g, ne = self._graph()
+        ops = _ops.new_from_ops(
+            8,
+            [
+                (0, ne + 0, (False,), (False,)),
+                (3, ne + 0, (False,), (False,)),
+                (5, ne + 1, (False,), (False,)),
+            ],
+            max_legs=g.model.max_legs,
+        )
+        g.sse = g.sse._replace(ops=ops, state=jnp.zeros((1, 2), bool))
+        for _ in range(20):
+            g.single_cluster_step()
+        assert int(np.asarray(g.get_n())[0]) == 3
+        assert bool(np.asarray(g.verify()))
