@@ -132,3 +132,42 @@ class TestClusterHandbuilt:
             g.single_cluster_step()
         assert int(np.asarray(g.get_n())[0]) == 3
         assert bool(np.asarray(g.verify()))
+
+
+class TestCyclicOverlap:
+    """Mirror of the reference's ``find_overlapping_starts`` unit tests
+    (``rvb.rs:1229-1260``) against the vectorized predicate
+    ``rvb._cyc_overlap`` (length 0 == full circle)."""
+
+    def _overlaps(self, flips, p_start, p_end, cutoff):
+        from isingmontecarlo_tpu.sse.rvb import _cyc_overlap
+
+        s1 = jnp.asarray(flips, jnp.int32)
+        ln1 = (jnp.roll(s1, -1) - s1) % cutoff
+        o = _cyc_overlap(s1, ln1, p_start, (p_end - p_start) % cutoff, cutoff)
+        return sorted(np.nonzero(np.asarray(o))[0].tolist())
+
+    def test_overlapping_regions_simple(self):
+        assert self._overlaps([0, 2, 4, 6, 8], 1, 7, 10) == [0, 1, 2, 3]
+
+    def test_overlapping_regions(self):
+        assert self._overlaps([0, 2, 4, 6, 8], 5, 7, 10) == [2, 3]
+
+    def test_wrap_around(self):
+        assert self._overlaps([0, 2, 4, 6, 8], 7, 1, 10) == [0, 3, 4]
+
+    def test_brute_force_oracle(self):
+        from isingmontecarlo_tpu.sse.rvb import _cyc_overlap
+
+        rng = np.random.default_rng(0)
+        M = 12
+        for _ in range(200):
+            s1, s2 = rng.integers(0, M, 2)
+            ln1, ln2 = rng.integers(0, M, 2)  # 0 == full circle
+            pts1 = {(s1 + k) % M for k in range(ln1 if ln1 else M)}
+            pts2 = {(s2 + k) % M for k in range(ln2 if ln2 else M)}
+            want = bool(pts1 & pts2)
+            got = bool(np.asarray(_cyc_overlap(
+                jnp.int32(s1), jnp.int32(ln1), jnp.int32(s2), jnp.int32(ln2), M
+            )))
+            assert got == want, (s1, ln1, s2, ln2)
