@@ -171,3 +171,25 @@ class TestCyclicOverlap:
                 jnp.int32(s1), jnp.int32(ln1), jnp.int32(s2), jnp.int32(ln2), M
             )))
             assert got == want, (s1, ln1, s2, ln2)
+
+
+class TestRvbHandbuilt:
+    """Hand-built constant-op strings driven by RVB sweeps — the
+    ``check_rvb_crash.rs`` pattern (``:69-107`` run_single_var and friends)
+    on a real lattice (our RVB needs the graph's edge navigator)."""
+
+    def test_constant_op_string_rvb(self):
+        edges = [((0, 1), -1.0), ((1, 2), 1.0), ((2, 3), 1.0), ((3, 0), 1.0)]
+        g = QmcIsingGraph(edges, transverse=1.0, replicas=1, seed=5)
+        ne = len(edges)
+        op_list = [(v, ne + v, (False,), (False,)) for v in range(4)]
+        op_list += [(4 + v, ne + v, (False,), (False,)) for v in range(4)]
+        ops = _ops.new_from_ops(16, op_list, max_legs=g.model.max_legs)
+        g.sse = g.sse._replace(ops=ops, state=jnp.zeros((1, 4), bool))
+        assert bool(np.asarray(g.verify()))
+        succ = 0
+        for _ in range(20):
+            s, _ = g.single_rvb_sweep()
+            succ += s
+            assert bool(np.asarray(g.verify()))
+        assert succ > 0  # some updates must land on this tiny string
