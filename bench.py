@@ -29,13 +29,15 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _wait_for_tpu(max_wait_s: float) -> None:
+def _wait_for_tpu(max_wait_s: float) -> bool:
     """Block until the axon TPU tunnel answers a tiny op, up to
     ``max_wait_s`` seconds. The tunnel drops intermittently (CLAUDE.md); if
     the driver lands in such a window, failing fast would lose the round's
     benchmark record entirely. Probing in a subprocess keeps a failed
-    backend init from poisoning this process's JAX state; on timeout we
-    fall through and let JAX pick whatever backend it can."""
+    backend init from poisoning this process's JAX state. Returns whether
+    the probe ever passed — on False the caller MUST force the CPU backend:
+    with the tunnel down, axon backend init blocks indefinitely (measured
+    in-session: even ``jax.devices()`` hangs for minutes)."""
     probe = (
         "import jax; assert jax.devices()[0].platform == 'tpu'; "
         "import jax.numpy as jnp; "
@@ -59,17 +61,22 @@ def _wait_for_tpu(max_wait_s: float) -> None:
         except subprocess.TimeoutExpired:
             ok = False
         if ok:
-            return
+            return True
         if time.monotonic() >= deadline:
-            print("bench: TPU probe never passed; continuing", file=sys.stderr)
-            return
+            print("bench: TPU probe never passed; forcing CPU", file=sys.stderr)
+            return False
         print("bench: waiting for TPU tunnel...", file=sys.stderr)
         time.sleep(30)
 
 
-_wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
+_TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
 
 import jax  # noqa: E402
+
+if not _TPU_OK:
+    # Backend init over a dead tunnel hangs forever; a CPU record marked
+    # *_cpu_fallback beats no record.
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -337,12 +344,20 @@ def main() -> None:
         c = bench_classical(L=256, replicas=64, nsweeps=100, reps=3)
     print(f"classical: {c}", file=sys.stderr)
     value = c["attempts_per_sec"]
+    metric = (
+        "classical_256sq_spinflip_attempts_per_sec"
+        if not args.smoke
+        else "classical_smoke_spinflip_attempts_per_sec"
+    )
+    if dev.platform != "tpu":
+        # The tunnel never came up; record honestly that this is not a
+        # chip measurement (the waiter above already gave it ISING_BENCH_WAIT
+        # seconds).
+        metric += f"_{dev.platform}_fallback"
     print(
         json.dumps(
             {
-                "metric": "classical_256sq_spinflip_attempts_per_sec"
-                if not args.smoke
-                else "classical_smoke_spinflip_attempts_per_sec",
+                "metric": metric,
                 "value": value,
                 "unit": "attempts/sec",
                 "vs_baseline": value / BASELINE_FLIPS_PER_SEC,
