@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from isingmontecarlo_tpu.sse import opstring as _ops
-from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep, sweep
 
 N_CLASSES = 3  # two-site, transverse, longitudinal (qmc_ising.rs:186-205)
 
@@ -99,19 +99,21 @@ def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
     return jnp.asarray(cls)
 
 
-@functools.partial(jax.jit, static_argnames=("parity",))
+@jax.jit
 def tempering_step(
     n: jax.Array,  # i32[R] op counts
     betas: jax.Array,  # f32[R]
     key: jax.Array,
-    parity: int,  # 0: pairs (0,1),(2,3)...; 1: pairs (1,2),(3,4)...
+    parity: jax.Array,  # 0: pairs (0,1),(2,3)...; 1: pairs (1,2),(3,4)...
     n_class: jax.Array | None = None,  # i32[R, C] per-class op counts
     log_c: jax.Array | None = None,  # f32[R, C] log class multipliers
 ) -> tuple[jax.Array, jax.Array]:
     """One neighbor-swap sweep. Returns ``(perm i32[R], n_swaps)`` where
     ``perm[r]`` is the replica whose parameter labels replica ``r`` takes
     (identity where no swap), mirroring ``swap_on_chunks``
-    (``tempering_container.rs:274-302``)."""
+    (``tempering_container.rs:274-302``). ``parity`` may be a traced scalar
+    so alternating sweeps compose inside a ``lax.scan``
+    (:func:`tempering_sweep_chunk`)."""
     R = betas.shape[0]
     order = jnp.argsort(betas)  # ascending beta, rank -> replica
     b_sorted = betas[order]
@@ -145,6 +147,84 @@ def tempering_step(
     # replica order[partner_rank].
     perm = jnp.zeros((R,), jnp.int32).at[order].set(order[partner_rank])
     return perm, jnp.sum(accept_start.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nsweeps", "heatbath", "hetero", "collect_states", "cluster_caps",
+    ),
+)
+def tempering_sweep_chunk(
+    sse,
+    betas: jax.Array,  # f32[R]
+    scales: jax.Array,  # f32[R, C]
+    parity: jax.Array,  # i32[] swap parity at chunk entry
+    do_swap: jax.Array,  # bool[T] swap after this sweep?
+    model,
+    bond_class: jax.Array,  # i32[NB]
+    nsweeps: int,
+    hb=None,
+    heatbath: bool = False,
+    hetero: bool = False,
+    collect_states: bool = False,
+    cluster_caps: tuple[int, int] | None = None,
+):
+    """``nsweeps`` tempering steps under ONE jit: each scan iteration runs a
+    full QMC sweep at every replica's own (beta, scales) label, then — on
+    sweeps flagged in ``do_swap`` — an alternating-parity neighbor swap that
+    permutes the labels (and, for heterogeneous ladders, the per-replica
+    heat-bath tables) device-side.
+
+    This fuses the reference's interleaved run/swap driver
+    (``tempering_container.rs:411-478``) the way its rayon threads never
+    could: no host round trip between a sweep and its swap. Swap keys derive
+    from the sweep key chain. Returns
+    ``(sse, betas, scales, hb, parity, nswaps, ns[T, R], states, betas_t)``
+    where ``states``/``betas_t`` are per-sweep samples (None unless
+    ``collect_states``).
+    """
+    R = betas.shape[0]
+    ident = jnp.arange(R, dtype=jnp.int32)
+
+    def body(carry, do_swap_t):
+        sse, betas, scales_c, hb_c, parity, nswaps = carry
+        bond_scale = scales_c[:, bond_class] if hetero else None
+        new, _succ = sweep(
+            sse, betas, model, hb=hb_c, heatbath=heatbath,
+            bond_scale=bond_scale, cluster_caps=cluster_caps,
+        )
+        k_next, k_swap = jax.random.split(new.key)
+        new = new._replace(key=k_next)
+        n = _ops.op_count(new.ops)
+        if hetero:
+            bc = _ops.bond_counts(new.ops, model.nbonds)
+            n_class = jnp.zeros((R, N_CLASSES), jnp.int32)
+            n_class = n_class.at[:, bond_class].add(bc)
+            log_c = jnp.log(jnp.maximum(scales_c, 1e-30))
+        else:
+            n_class = log_c = None
+        perm, nsw = tempering_step(n, betas, k_swap, parity, n_class, log_c)
+        perm = jnp.where(do_swap_t, perm, ident)
+        betas = betas[perm]
+        if hetero:
+            scales_c = scales_c[perm]
+        if heatbath and hb_c is not None and hb_c.cum_max_w.ndim == 2:
+            hb_c = type(hb_c)(
+                cum_max_w=hb_c.cum_max_w[perm], total=hb_c.total[perm]
+            )
+        parity = jnp.where(do_swap_t, 1 - parity, parity)
+        nswaps = nswaps + jnp.where(do_swap_t, nsw, 0)
+        out = (n, new.state if collect_states else None,
+               betas if collect_states else None)
+        return (new, betas, scales_c, hb_c, parity, nswaps), out
+
+    carry0 = (sse, betas, scales, hb, jnp.asarray(parity, jnp.int32),
+              jnp.int32(0))
+    (sse, betas, scales, hb, parity, nswaps), (ns, states, betas_t) = (
+        jax.lax.scan(body, carry0, do_swap, length=nsweeps)
+    )
+    return sse, betas, scales, hb, parity, nswaps, ns, states, betas_t
 
 
 class TemperingContainer:
@@ -396,21 +476,60 @@ class TemperingContainer:
         t: int,
         swap_freq: int = 1,
         sampling_freq: int | None = None,
+        chunk: int = 32,
     ):
         """Interleave sweeps, swaps, and state sampling.
 
         Returns ``(states bool[S, R, N], betas_at_sample f32[S, R])`` so
         samples can be grouped by temperature afterwards.
-        """
+
+        After the cold-start growth phase (per-step dispatches while the
+        cutoff still grows) the whole run/swap/sample loop executes in
+        jit-fused chunks of ``chunk`` sweeps (:func:`tempering_sweep_chunk`)
+        — one host dispatch per chunk instead of one per sweep, the batched
+        answer to the reference's rayon driver
+        (``tempering_container.rs:411-478``)."""
+        self._finalize()
         freq = sampling_freq or 1
+        g = self.graph
         states, bet = [], []
-        for step in range(t):
+        step = 0
+        # Growth phase: single-sweep dispatches so the cutoff can track
+        # n + n/2 after every timestep (see QmcIsingGraph.timesteps_measure).
+        while step < t and g._growth_pending:
             self.timesteps(1, chunk=1)
             if (step + 1) % swap_freq == 0:
                 self.tempering_step()
             if (step + 1) % freq == 0:
-                states.append(np.asarray(self.graph.sse.state))
+                states.append(np.asarray(g.sse.state))
                 bet.append(np.asarray(self.betas))
+            step += 1
+        while step < t:
+            todo = min(chunk, t - step)
+            do_swap = jnp.asarray(
+                [(step + i + 1) % swap_freq == 0 for i in range(todo)]
+            )
+            samp = [(step + i + 1) % freq == 0 for i in range(todo)]
+            (g.sse, self.betas, self.scales, hb, parity, nswaps, _ns,
+             st, bt) = tempering_sweep_chunk(
+                g.sse, self.betas, self.scales, self._parity, do_swap,
+                g.model, self.bond_class, todo,
+                hb=self._hb, heatbath=self._heatbath, hetero=self.hetero,
+                collect_states=any(samp), cluster_caps=g._cluster_caps,
+            )
+            if self._hb is not None:
+                self._hb = hb
+            self._parity = int(parity)
+            self.total_swaps += int(nswaps)
+            if any(samp):
+                st = np.asarray(st)
+                bt = np.asarray(bt)
+                for i, s in enumerate(samp):
+                    if s:
+                        states.append(st[i])
+                        bet.append(bt[i])
+            step += todo
+            g._maybe_grow()
         S = len(states)
         return (
             np.stack(states) if S else np.zeros((0, self.replicas, self.graph.nvars), bool),
