@@ -393,6 +393,47 @@ def _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid):
     return in0, is_toggle
 
 
+def _cluster_cand_edges(popped, ops, model, tables, cvar, valid):
+    """Candidate boundary edges of one update's cluster: ``i32[A, R]``
+    global edge-bond ids (``tables.nedges`` = padding), ``A = MAX_POPS * D``.
+
+    The cluster touches at most ``MAX_POPS`` variables (one per pop of
+    :func:`_build_cluster`), so every edge that can ever be a boundary edge
+    — one endpoint in the cluster — is incident to one of them. Restricting
+    the fused acceptance+mutation pass to this candidate set drops its
+    footprint from O(M·R·NE) to O(M·R·A) with ``A`` independent of lattice
+    size — the TPU analog of the reference's heap sweep visiting only ops
+    adjacent to the cluster (``calculate_flip_prob``, ``rvb.rs:649-946``).
+    Duplicate edges are masked to padding (they would double-count the
+    boundary weight totals)."""
+    M, R = ops.bond.shape
+    N = model.nvars
+    D = tables.neigh_bond.shape[1]
+    P = min(MAX_POPS, M + N)
+    pf = popped[:, :M].T & valid  # [M, R] popped segment elements
+    v_seg = jax.lax.sort(jnp.where(pf, cvar, _BIG), dimension=0)[:P]
+    v_wl = jax.lax.sort(
+        jnp.where(
+            popped[:, M:].T,
+            jnp.arange(N, dtype=jnp.int32)[:, None],
+            _BIG,
+        ),
+        dimension=0,
+    )[:min(P, N)]
+    # <= MAX_POPS elements are popped in total, so after one more sort all
+    # real vars land in the first P rows.
+    vs = jax.lax.sort(jnp.concatenate([v_seg, v_wl], axis=0), dimension=0)[:P]
+    ok = vs < N
+    cb = tables.neigh_bond[jnp.where(ok, vs, 0)]  # [P, R, D]
+    cb = jnp.where(ok[..., None] & (cb >= 0), cb, tables.nedges)
+    cand = jnp.moveaxis(cb, 2, 1).reshape(P * D, R)
+    cand = jax.lax.sort(cand, dimension=0)
+    dup = jnp.concatenate(
+        [jnp.zeros((1, R), bool), cand[1:] == cand[:-1]], axis=0
+    )
+    return jnp.where(dup, tables.nedges, cand)
+
+
 def _edge_weight(model, b_safe, sa, sb):
     """Diagonal weight of edge bond ``b`` given endpoint spins (bit0 = first
     leg)."""
@@ -452,9 +493,14 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
             * _edge_weight(model, e_ids, flipped[:, va_e], flipped[:, vb_e]),
             axis=1,
         )
+        # wa_tot == 0 means the rewrite has zero weight: acceptance must be
+        # EXACTLY 0 (the reference's ratio product is 0), not exp(log _TINY),
+        # or a u = 0.0 uniform draw could accept an invalid candidate.
         logm = logm + jnp.where(
             is_boundary_op,
-            jnp.log(jnp.maximum(wa_tot, _TINY))
+            jnp.where(
+                wa_tot > 0, jnp.log(jnp.maximum(wa_tot, _TINY)), -jnp.inf
+            )
             - jnp.log(jnp.maximum(wb_tot, _TINY)),
             0.0,
         )
@@ -478,7 +524,9 @@ def _acceptance_scan(ops, state, model, tables, in0, is_toggle):
         ratio_ok = completely_in & ~is_boundary_op
         logm = logm + jnp.where(
             ratio_ok,
-            jnp.log(jnp.maximum(w_flip, _TINY))
+            jnp.where(
+                w_flip > 0, jnp.log(jnp.maximum(w_flip, _TINY)), -jnp.inf
+            )
             - jnp.log(jnp.maximum(w_cur, _TINY)),
             0.0,
         )
@@ -700,9 +748,14 @@ def _fused_scan(ops, state, model, tables, in0, is_toggle, key):
         wa_tot = jnp.sum(w_aft, axis=1)
 
         # --- acceptance accumulation (rvb.rs:845-852, :873-879) ------------
+        # wa_tot == 0 means the rewrite has zero weight: acceptance must be
+        # EXACTLY 0 (the reference's ratio product is 0), not exp(log _TINY),
+        # or a u = 0.0 uniform draw could accept an invalid candidate.
         logm = logm + jnp.where(
             is_boundary_op,
-            jnp.log(jnp.maximum(wa_tot, _TINY))
+            jnp.where(
+                wa_tot > 0, jnp.log(jnp.maximum(wa_tot, _TINY)), -jnp.inf
+            )
             - jnp.log(jnp.maximum(wb_tot, _TINY)),
             0.0,
         )
@@ -721,7 +774,9 @@ def _fused_scan(ops, state, model, tables, in0, is_toggle, key):
         ratio_ok = completely_in & ~is_boundary_op
         logm = logm + jnp.where(
             ratio_ok,
-            jnp.log(jnp.maximum(w_flip, _TINY))
+            jnp.where(
+                w_flip > 0, jnp.log(jnp.maximum(w_flip, _TINY)), -jnp.inf
+            )
             - jnp.log(jnp.maximum(w_cur, _TINY)),
             0.0,
         )
@@ -849,7 +904,7 @@ def _event_parity(v_idx, ev, base, return_total=False):
 
 
 def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
-                      gumbels=None, want_carry=False):
+                      gumbels=None, want_carry=False, cand=None):
     """Acceptance + candidate mutation with NO sequential scan.
 
     The key observation about :func:`_fused_scan`: its carry ``(substate,
@@ -880,6 +935,13 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
     log-acceptance and the propagated ``(substate, incl)`` past the last
     slot — the chunked caller's carry (:func:`_fused_chunked`) — instead of
     ``p_acc``.
+
+    ``cand: i32[A, R]`` optionally restricts the edge axis to the cluster's
+    candidate boundary edges (:func:`_cluster_cand_edges`; padding id =
+    ``nedges``): exact — non-candidate edges contribute 0 to every boundary
+    sum and carry zero rotation weight — and the edge-axis footprint drops
+    from NE to A. With ``cand``, ``gumbels`` is ``f32[M, R, A]`` in the
+    candidate order.
     """
     M, R = ops.bond.shape
     K = ops.max_legs
@@ -887,6 +949,13 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
     ne = tables.nedges
     va_e = model.bond_vars[:ne, 0]  # [NE]
     vb_e = model.bond_vars[:ne, 1]
+    if cand is not None:
+        A = cand.shape[0]
+        cand_t = cand.T  # [R, A]
+        cvalid_t = cand_t < ne
+        csafe_t = jnp.where(cvalid_t, cand_t, 0)
+        va_c = jnp.where(cvalid_t, va_e[csafe_t], -1)  # [R, A]
+        vb_c = jnp.where(cvalid_t, vb_e[csafe_t], -1)
 
     occ = ops.bond >= 0  # [M, R]
     b = jnp.maximum(ops.bond, 0)
@@ -949,39 +1018,66 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
     # (axis-2 gathers with dynamic model indices would scalarize on TPU;
     # substates and incl share the matmul, batched along the replica axis)
     iota_n = jnp.arange(N, dtype=jnp.int32)[:, None]
-    oh_ab = jnp.concatenate(
-        [
-            (iota_n == va_e[None, :]),
-            (iota_n == vb_e[None, :]),
-        ],
-        axis=1,
-    ).astype(mm_dt)  # [N, 2*NE]
-    bits2 = jnp.einsum(
-        "rnm,nq->rqm",
-        par2_t.astype(mm_dt),
-        oh_ab,
-        preferred_element_type=jnp.float32,
-    ) == 1.0  # [2R, 2*NE, M]
-    sbits, ibits = bits2[:R], bits2[R:]
-    sa, sb = sbits[:, :ne], sbits[:, ne:]  # [R, NE, M]
-    ia, ib = ibits[:, :ne], ibits[:, ne:]
-    bdry_e = ia ^ ib  # [R, NE, M]
+    if cand is None:
+        oh_ab = jnp.concatenate(
+            [
+                (iota_n == va_e[None, :]),
+                (iota_n == vb_e[None, :]),
+            ],
+            axis=1,
+        ).astype(mm_dt)  # [N, 2*NE]
+        bits2 = jnp.einsum(
+            "rnm,nq->rqm",
+            par2_t.astype(mm_dt),
+            oh_ab,
+            preferred_element_type=jnp.float32,
+        ) == 1.0  # [2R, 2*NE, M]
+        sbits, ibits = bits2[:R], bits2[R:]
+        sa, sb = sbits[:, :ne], sbits[:, ne:]  # [R, NE, M]
+        ia, ib = ibits[:, :ne], ibits[:, ne:]
+        ew = ne  # edge-axis width of the weight tensors
+    else:
+        # Per-replica candidate one-hot (invalid/duplicate columns all-zero,
+        # so they contribute nothing to any boundary sum below).
+        oh_ab = jnp.concatenate(
+            [
+                iota_n[None] == va_c[:, None, :],
+                iota_n[None] == vb_c[:, None, :],
+            ],
+            axis=2,
+        ).astype(mm_dt)  # [R, N, 2A]
+        bits2 = jnp.einsum(
+            "xrnm,rnq->xrqm",
+            par2_t.reshape(2, R, N, M).astype(mm_dt),
+            oh_ab,
+            preferred_element_type=jnp.float32,
+        ) == 1.0  # [2, R, 2A, M]
+        sbits, ibits = bits2[0], bits2[1]
+        sa, sb = sbits[:, :A], sbits[:, A:]  # [R, A, M]
+        ia, ib = ibits[:, :A], ibits[:, A:]
+        ew = A
+    bdry_e = ia ^ ib  # [R, ew, M]
     fa, fb = sa ^ ia, sb ^ ib  # flipped = substate ^ incl
 
     # diag weight of edge e at endpoint spins: select-sum over the 4
-    # substates (static edge axis, no dynamic gather).
-    dw_e = model.diag_w[:ne]  # [NE, 4]
+    # substates (static edge axis, no dynamic gather; for candidates, a
+    # cheap [R, A] row gather of the weight rows).
+    if cand is None:
+        dw_e = model.diag_w[:ne][None]  # [1, NE, 4]
+    else:
+        dw_e = model.diag_w[csafe_t]  # [R, A, 4]
 
     def edge_w(xa, xb):
-        si = xa.astype(jnp.int32) + 2 * xb.astype(jnp.int32)  # [., NE, M]
+        si = xa.astype(jnp.int32) + 2 * xb.astype(jnp.int32)  # [., ew, M]
         w = jnp.zeros(si.shape, jnp.float32)
+        dw2 = jnp.concatenate([dw_e, dw_e], axis=0) if dw_e.shape[0] > 1 else dw_e
         for s in range(4):
-            w = w + jnp.where(si == s, dw_e[None, :, s, None], 0.0)
+            w = w + jnp.where(si == s, dw2[:, :, s, None], 0.0)
         return w
 
     w2 = edge_w(
         jnp.concatenate([sa, fa], axis=0), jnp.concatenate([sb, fb], axis=0)
-    )  # [2R, NE, M] — before/after share the select-sum
+    )  # [2R, ew, M] — before/after share the select-sum
     w_bef = jnp.where(bdry_e, w2[:R], 0.0)
     w_aft = jnp.where(bdry_e, w2[R:], 0.0)
     wb_tot = jnp.sum(w_bef, axis=1)  # [R, M]
@@ -1006,9 +1102,11 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
     completely_in = jnp.all(in_leg, axis=0) & occ_t & (arity_t > 0)
 
     # --- acceptance accumulation (rvb.rs:845-852, :873-879) ----------------
+    # Zero-weight rewrites get EXACT -inf (acceptance 0), matching the
+    # reference's ratio product and the scan paths.
     logm_slot = jnp.where(
         is_boundary_op,
-        jnp.log(jnp.maximum(wa_tot, _TINY))
+        jnp.where(wa_tot > 0, jnp.log(jnp.maximum(wa_tot, _TINY)), -jnp.inf)
         - jnp.log(jnp.maximum(wb_tot, _TINY)),
         0.0,
     )  # [R, M]
@@ -1034,22 +1132,30 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
     ratio_ok = completely_in & ~is_boundary_op
     logm_slot = logm_slot + jnp.where(
         ratio_ok,
-        jnp.log(jnp.maximum(w_flip, _TINY))
+        jnp.where(w_flip > 0, jnp.log(jnp.maximum(w_flip, _TINY)), -jnp.inf)
         - jnp.log(jnp.maximum(w_cur, _TINY)),
         0.0,
     )
     logm = jnp.sum(logm_slot, axis=1)
 
     # --- candidate mutation (assume accepted; rvb.rs:294-615) --------------
-    # Same [M, R, NE] gumbel draw as _fused_scan (transposed, not redrawn,
-    # so the rotation choices stay bit-identical).
-    raw_g = jax.random.gumbel(key, (M, R, ne)) if gumbels is None else gumbels
+    # Same [M, R, ew] gumbel draw as _fused_scan (transposed, not redrawn,
+    # so the rotation choices stay bit-identical). With ``cand`` the draw is
+    # per candidate column; weights still make the choice ∝ w_aft (exactly
+    # the full-edge categorical: non-candidates have w_aft = 0).
+    raw_g = jax.random.gumbel(key, (M, R, ew)) if gumbels is None else gumbels
     g = jnp.transpose(raw_g, (1, 2, 0))
     score = jnp.where(w_aft > 0, jnp.log(jnp.maximum(w_aft, _TINY)) + g, -jnp.inf)
-    b_new = jnp.argmax(score, axis=1).astype(jnp.int32)  # [R, M]
+    b_loc = jnp.argmax(score, axis=1).astype(jnp.int32)  # [R, M]
     oh_rot = (
-        b_new[:, None, :] == jnp.arange(ne, dtype=jnp.int32)[None, :, None]
-    )  # [R, NE, M]
+        b_loc[:, None, :] == jnp.arange(ew, dtype=jnp.int32)[None, :, None]
+    )  # [R, ew, M]
+    if cand is None:
+        b_new = b_loc
+    else:  # map the local argmax back to the global edge id (one-hot sum)
+        b_new = jnp.sum(
+            jnp.where(oh_rot, cand_t[:, :, None], 0), axis=1
+        ).astype(jnp.int32)
     rot_bit_a = jnp.any(oh_rot & fa, axis=1)
     rot_bit_b = jnp.any(oh_rot & fb, axis=1)
     rot_bits = jnp.stack([rot_bit_a, rot_bit_b])  # [2, R, M]
@@ -1089,7 +1195,7 @@ def _fused_vectorized(ops, state, model, tables, in0, is_toggle, key,
 
 
 def _fused_chunked(ops, state, model, tables, in0, is_toggle, key, *, mc,
-                   gumbels=None):
+                   gumbels=None, cand=None):
     """:func:`_fused_vectorized` in imaginary-time chunks of ``mc`` slots.
 
     Beyond the vectorized path's footprint gate the legacy fallback was the
@@ -1116,7 +1222,7 @@ def _fused_chunked(ops, state, model, tables, in0, is_toggle, key, *, mc,
     """
     M, R = ops.bond.shape
     K = ops.max_legs
-    ne = tables.nedges
+    ne = tables.nedges if cand is None else cand.shape[0]
     C = -(-M // mc)
     pad = C * mc - M
 
@@ -1152,7 +1258,7 @@ def _fused_chunked(ops, state, model, tables, in0, is_toggle, key, *, mc,
         chunk = OpString(bond=bond_k, inputs=in_k, outputs=out_k)
         lg, nb, ni, no, sub, incl = _fused_vectorized(
             chunk, sub, model, tables, incl, tog_k, key,
-            gumbels=g_k, want_carry=True,
+            gumbels=g_k, want_carry=True, cand=cand,
         )
         return (sub, incl, logm + lg), (nb, ni, no)
 
@@ -1169,19 +1275,43 @@ def _fused_chunked(ops, state, model, tables, in0, is_toggle, key, *, mc,
 # Test hook: force the chunked path with this chunk size (int); None = auto.
 _FORCE_CHUNK_MC = None
 
+# Test hook: candidate-restricted edge axis. None = auto (use when strictly
+# narrower than NE); True = always; False = never.
+_FORCE_CAND = None
 
-def _fused_fn(ops, model, tables):
+
+def _cand_width(ops, model, tables) -> int:
+    """Static width of the candidate edge list (see
+    :func:`_cluster_cand_edges`)."""
+    D = tables.neigh_bond.shape[1]
+    return min(MAX_POPS, ops.cutoff + model.nvars) * D
+
+
+def _use_cand(ops, model, tables) -> bool:
+    """Whether the candidate-restricted pass applies: narrower than the full
+    edge axis and not pinned off (the sequential-scan pin has no candidate
+    form)."""
+    if _FORCE_VEC is False:
+        return False
+    if _FORCE_CAND is not None:
+        return _FORCE_CAND
+    return _cand_width(ops, model, tables) < tables.nedges
+
+
+def _fused_fn(ops, model, tables, cand_width: int | None = None):
     """Dispatch the fused acceptance+mutation pass by footprint: fully
-    vectorized when ``M x R x max(NE, K*N)`` fits :data:`_VEC_MAX_ELEMS`,
-    chunked-vectorized otherwise. ``_FORCE_VEC`` pins the vectorized (True)
-    or sequential-scan (False) path; ``_FORCE_CHUNK_MC`` pins the chunked
-    path at a given chunk size."""
+    vectorized when ``M x R x max(EW, K*N)`` fits :data:`_VEC_MAX_ELEMS`
+    (``EW`` = the edge-axis width: NE, or the candidate width when
+    restricted), chunked-vectorized otherwise. ``_FORCE_VEC`` pins the
+    vectorized (True) or sequential-scan (False) path; ``_FORCE_CHUNK_MC``
+    pins the chunked path at a given chunk size."""
     if _FORCE_CHUNK_MC is not None:
         return functools.partial(_fused_chunked, mc=_FORCE_CHUNK_MC)
     if _FORCE_VEC is not None:
         return _fused_vectorized if _FORCE_VEC else _fused_scan
     M, R = ops.bond.shape
-    per_slot = R * max(tables.nedges, ops.max_legs * model.nvars, 1)
+    ew = cand_width if cand_width is not None else tables.nedges
+    per_slot = R * max(ew, ops.max_legs * model.nvars, 1)
     if M * per_slot <= _VEC_MAX_ELEMS:
         return _fused_vectorized
     mc = max(128, _VEC_MAX_ELEMS // per_slot // 128 * 128)
@@ -1212,7 +1342,12 @@ def rvb_update_once(
         k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount, has_const
     )
     in0, is_toggle = _cluster_masks(popped, ops, model, cvar, cpos, cnext, valid)
-    fused = _fused_fn(ops, model, tables)
+    if _use_cand(ops, model, tables):
+        cand = _cluster_cand_edges(popped, ops, model, tables, cvar, valid)
+        fused = _fused_fn(ops, model, tables, cand_width=cand.shape[0])
+        fused = functools.partial(fused, cand=cand)
+    else:
+        fused = _fused_fn(ops, model, tables)
     p_acc, nb, ni, no = fused(
         ops, state, model, tables, in0, is_toggle, k_mut
     )
@@ -1311,12 +1446,22 @@ def rvb_sweep(
         lambda p: _cluster_masks(p, ops, model, cvar, cpos, cnext, valid)
     )(popped)  # [U, R, N], [U, M, R]
 
-    fused = _fused_fn(ops, model, tables)
+    if _use_cand(ops, model, tables):
+        cands = jax.vmap(
+            lambda p: _cluster_cand_edges(p, ops, model, tables, cvar, valid)
+        )(popped)  # [U, A, R]
+        fused = _fused_fn(ops, model, tables, cand_width=cands.shape[1])
+    else:
+        cands = None
+        fused = _fused_fn(ops, model, tables)
 
     def body(carry, xs):
         ops, state, succ = carry
-        in0_u, tog_u, ka, km = xs
-        p_acc, nb, ni, no = fused(ops, state, model, tables, in0_u, tog_u, km)
+        in0_u, tog_u, ka, km, cand_u = xs
+        kw = {} if cand_u is None else {"cand": cand_u}
+        p_acc, nb, ni, no = fused(
+            ops, state, model, tables, in0_u, tog_u, km, **kw
+        )
         accept = jax.random.uniform(ka, p_acc.shape) < p_acc
         acc_m = accept[None, :]
         new_ops = OpString(
@@ -1328,6 +1473,6 @@ def rvb_sweep(
         return (new_ops, new_state, succ + accept.astype(jnp.int32)), None
 
     (ops, state, succ), _ = jax.lax.scan(
-        body, (ops, state, succ0), (in0, is_toggle, k_acc, k_mut)
+        body, (ops, state, succ0), (in0, is_toggle, k_acc, k_mut, cands)
     )
     return ops, state, succ

@@ -230,3 +230,125 @@ def test_chunked_full_chain_verifies(monkeypatch):
     for _ in range(6):
         g.timesteps(4, 3.0)
         assert g.verify()
+
+
+@pytest.mark.parametrize(
+    "L,G,h,beta,seed",
+    [
+        (6, 1.0, 0.0, 2.0, 51),
+        (6, 0.9, 0.3, 2.0, 53),
+    ],
+)
+def test_cand_matches_full_vectorized_with_shared_gumbels(L, G, h, beta, seed):
+    """The candidate-restricted pass (edge axis = cluster-adjacent edges
+    only) must be exact: given the full pass's gumbels gathered at the
+    candidate columns, every positive-weight (boundary) edge is a candidate,
+    so the rotation argmax and all boundary sums coincide — candidate
+    rewrites bit-identical, acceptance equal up to f32 summation order."""
+    edges = lattice.square(L, L)  # NE=72 > A=64: the cand path is narrower
+    g = QmcIsingGraph(
+        edges, transverse=G, longitudinal=h, replicas=8, seed=seed
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(beta), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    tables = _rvb.make_rvb_tables(edges, model)
+    assert _rvb._cand_width(ops, model, tables) < tables.nedges
+    inventory = _rvb._const_inventory(ops, model)
+    cvar, cpos, cnext, valid, ncount, has_const = inventory
+    M, R = ops.bond.shape
+    ne = tables.nedges
+
+    for trial in range(3):
+        key = jax.random.key(640 + trial)
+        k_build, _, k_mut = jax.random.split(key, 3)
+        popped = _rvb._build_cluster(
+            k_build, ops, model, tables, cvar, cpos, cnext, valid, ncount,
+            has_const,
+        )
+        in0, is_toggle = _rvb._cluster_masks(
+            popped, ops, model, cvar, cpos, cnext, valid
+        )
+        cand = _rvb._cluster_cand_edges(popped, ops, model, tables, cvar, valid)
+        A = cand.shape[0]
+        # every real candidate id is a lattice edge bond; pads are ne
+        c_np = np.asarray(cand)
+        assert c_np.shape == (A, R) and np.all((c_np >= 0) & (c_np <= ne))
+
+        g_full = jax.random.gumbel(k_mut, (M, R, ne))
+        idx = jnp.broadcast_to(
+            jnp.minimum(cand.T, ne - 1)[None], (M, R, A)
+        )
+        g_cand = jnp.take_along_axis(g_full, idx, axis=2)
+
+        pa, nb_a, ni_a, no_a = _rvb._fused_vectorized(
+            ops, state, model, tables, in0, is_toggle, k_mut, gumbels=g_full
+        )
+        pc, nb_c, ni_c, no_c = _rvb._fused_vectorized(
+            ops, state, model, tables, in0, is_toggle, k_mut,
+            gumbels=g_cand, cand=cand,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pc), atol=1e-5, rtol=1e-5
+        )
+        # Candidates are only reachable on replicas with p_acc > 0: where a
+        # boundary op has NO positive-weight rotation target (wa_tot == 0,
+        # p_acc == 0) both argmaxes see all -inf and return unused garbage
+        # indices (index 0 locally vs globally). Compare reachable lanes.
+        ok = np.asarray(pa) > 0.0
+        assert np.array_equal(np.asarray(nb_a)[:, ok], np.asarray(nb_c)[:, ok])
+        assert np.array_equal(
+            np.asarray(ni_a)[:, :, ok], np.asarray(ni_c)[:, :, ok]
+        )
+        assert np.array_equal(
+            np.asarray(no_a)[:, :, ok], np.asarray(no_c)[:, :, ok]
+        )
+
+        # chunked + cand threads the carry identically
+        for mc in (48, M):
+            pk, nb_k, ni_k, no_k = _rvb._fused_chunked(
+                ops, state, model, tables, in0, is_toggle, k_mut, mc=mc,
+                gumbels=g_cand, cand=cand,
+            )
+            np.testing.assert_allclose(
+                np.asarray(pc), np.asarray(pk), atol=1e-5, rtol=1e-5
+            )
+            assert np.array_equal(np.asarray(nb_c), np.asarray(nb_k)), mc
+            assert np.array_equal(np.asarray(ni_c), np.asarray(ni_k)), mc
+            assert np.array_equal(np.asarray(no_c), np.asarray(no_k)), mc
+
+        from isingmontecarlo_tpu.sse.opstring import OpString
+
+        # Advance the chain production-style: apply candidates only on
+        # reachable lanes so later trials see valid op strings.
+        accept = jnp.asarray(ok)[None, :]
+        ops = OpString(
+            bond=jnp.where(accept, nb_a, ops.bond),
+            inputs=jnp.where(accept[None], ni_a, ops.inputs),
+            outputs=jnp.where(accept[None], no_a, ops.outputs),
+        )
+        state = state ^ (in0 & jnp.asarray(ok)[:, None])
+
+
+def test_cand_full_chain_verifies(monkeypatch):
+    """End-to-end soak with the candidate path FORCED on (A > NE here, so
+    the candidate list is mostly padding — exercises pad/dedup masking):
+    the worldline-integrity oracle must hold after every sweep."""
+    monkeypatch.setattr(_rvb, "_FORCE_CAND", True)
+    edges = lattice.frustrated_square(3, 3)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=8, seed=9)
+    g.set_run_rvb(True, updates_per_timestep=5)
+    for _ in range(6):
+        g.timesteps(4, 3.0)
+        assert g.verify()
+
+
+def test_cand_auto_chain_verifies():
+    """Soak on a lattice where the candidate path engages automatically
+    (square 6x6: NE=72 > A=64), through the public RVB-enabled stepper."""
+    edges = lattice.square(6, 6)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=8, seed=10)
+    g.set_run_rvb(True)
+    for _ in range(4):
+        g.timesteps(3, 2.0)
+        assert g.verify()
