@@ -69,7 +69,10 @@ def _wait_for_tpu(max_wait_s: float) -> bool:
         time.sleep(30)
 
 
-_TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
+# Default wait raised 600 -> 3600 s: the round's official record must not be
+# a CPU fallback just because the flaky tunnel was down at capture time
+# (round-1 lost its TPU record that way; see VERDICT.md Weak #1).
+_TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "3600")))
 
 import jax  # noqa: E402
 
@@ -280,6 +283,15 @@ def bench_suite(json_path: str | None = None) -> None:
 
     R = 256
     print("reference benchmark workloads (benches/end_to_end.rs):", file=sys.stderr)
+    # The reference's RNG-ablation rows (one_d with StdRng / ChaCha,
+    # benches/end_to_end.rs:62-94) are intentionally absent: this build has
+    # exactly one counter-based RNG (threefry via jax.random), so the
+    # ablation has no analog; the one_d row below is the SmallRng workload.
+    print(
+        "  (rng-ablation rows one_d_{std,chacha}_rng: n/a — single threefry "
+        "RNG by design)",
+        file=sys.stderr,
+    )
     safe("one_d (L=16)", lattice.chain(16), 1.0, R)
     for L in (4, 8, 16):
         safe(f"two_d_{L:02d}", lattice.bench_two_d_periodic(L), 1.0, R)
@@ -296,9 +308,7 @@ def bench_suite(json_path: str | None = None) -> None:
             10.0, 64 if L < 16 else 16, rvb=(n + 1) // 2, warm=4,
         )
     # Cold RVB (beta=100, benches/end_to_end.rs:336-429): deep op strings,
-    # more warm rounds to grow the cutoff to steady state. (rvb_cold_7/8 and
-    # rvb_32 are omitted: the dense fused pass is O(M) per update and those
-    # op strings reach the tunnel worker's crash sizes.)
+    # more warm rounds to grow the cutoff to steady state.
     for L in (4, 5, 6):
         n = L * L
         safe(
@@ -311,6 +321,20 @@ def bench_suite(json_path: str | None = None) -> None:
     safe(
         "two_d_heatbath_32", lattice.bench_two_d_periodic(32), 1.0, 64,
         heatbath=True,
+    )
+    # The deepest RVB rows (very last — the candidate-restricted fused pass
+    # bounds the edge axis at MAX_POPS*degree, but M is still tens of
+    # thousands of slots and the tunnel worker may crash; each row is
+    # independently `safe`).
+    for L, R_rvb, warm in ((7, 16, 10), (8, 16, 10)):
+        n = L * L
+        safe(
+            f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
+            100.0, R_rvb, rvb=(n + 1) // 2, warm=warm,
+        )
+    safe(
+        "two_d_rvb_32 (beta=10)", lattice.bench_two_d_periodic(32),
+        10.0, 4, rvb=(32 * 32 + 1) // 2, warm=2,
     )
     if json_path:
         with open(json_path, "a") as f:
