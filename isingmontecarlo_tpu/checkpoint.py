@@ -218,6 +218,7 @@ def save_tempering(path: str, container, *, strip_rng: bool = False) -> None:
         replicas=container.graph.replicas,
         parity=container._parity,
         total_swaps=container.total_swaps,
+        scales=np.asarray(container.scales, np.float32),
         strip_rng=strip_rng,
     )
 
@@ -251,4 +252,8 @@ def load_tempering(path: str, *, seed: int | None = None):
     container.betas = betas
     container._parity = int(meta["parity"])
     container.total_swaps = int(meta["total_swaps"])
+    if "scales" in meta:  # per-bond Hamiltonian multipliers (hetero ladders)
+        sc = np.asarray(meta["scales"], np.float32)
+        container.scales = jnp.asarray(sc)
+        container.hetero = bool(np.max(np.abs(sc - 1.0)) > 1e-12)
     return container

@@ -10,25 +10,33 @@ the Hamiltonian-ratio term is computed in O(bonds) from per-bond op counters
 
 TPU-native redesign (SURVEY.md sections 2 and 5): replicas are a batch axis
 ``R`` carrying per-replica inverse temperatures ``beta[R]`` and, optionally,
-per-replica Hamiltonian *class multipliers* ``(J-scale, transverse-scale,
-longitudinal-scale)`` — the TFIM bond classes of ``qmc_ising.rs:186-205``. A
-replica exchange swaps the parameter *labels* between two chains instead of
-moving op-string payloads: states live in identical fixed shapes, so
+per-replica **per-bond Hamiltonian multipliers** ``scales[R, NB]`` (built
+from per-class ``(J-scale, transverse-scale, longitudinal-scale)`` inputs —
+the TFIM bond classes of ``qmc_ising.rs:186-205`` — or from arbitrary
+per-bond coupling disorder via :meth:`TemperingContainer.add_qmc_stepper`).
+A replica exchange swaps the parameter *labels* between two chains instead
+of moving op-string payloads: states live in identical fixed shapes, so
 exchanging labels is exactly equivalent and costs O(R) instead of O(R*M).
 Neighbor pairs are adjacent ranks in beta-sorted order. The swap acceptance
 in label space is
 
 ``log p = (n_b - n_a) log(beta_a/beta_b)
-          + sum_class (n_class_b - n_class_a) log(c_a/c_b)``
+          + sum_bond (count_b - count_a) log(c_a/c_b)``
 
-with per-class op counts from the on-device bond counters — the same math as
-the reference's ``relative_weight`` product. The replica axis shards over a
+with per-bond op counts from the on-device bond counters — exactly the
+reference's Ising ``relative_weight`` product ``prod_b (J'_b/J_b)^count(b)``
+(``tempering_traits.rs:117-155``). The replica axis shards over a
 `jax.sharding.Mesh` (see ``__graft_entry__.dryrun_multichip``); the only
 cross-device traffic is the tiny ``(beta, n)`` vectors.
 
-Class multipliers only enter the *diagonal* update (as ``bond_scale``):
-cluster, loop, and RVB updates use ratios of same-bond or same-class weights
-where a class-uniform multiplier cancels.
+Per-bond multipliers only enter the *diagonal* update (as ``bond_scale``):
+cluster, loop, and RVB acceptances use ratios of same-bond weights where a
+per-bond-constant multiplier cancels, so a positive per-bond factor is the
+exact label-swap representation of any same-sign coupling disorder. For
+Hamiltonian differences with NO positive per-bond factor (sign flips), the
+reference's op-walking ``OpWeights`` fallback (``tempering_traits.rs:
+163-196``) maps to :func:`isingmontecarlo_tpu.sse.opstring.log_relative_weight`
++ ``QmcIsingGraph.swap_manager_and_state`` (see :func:`swap_qmc_steppers`).
 """
 
 from __future__ import annotations
@@ -60,35 +68,63 @@ def new_thread_rng() -> "TemperingContainer":
     return TemperingContainer.new(int.from_bytes(os.urandom(4), "little"))
 
 
-def _relative_scales(base, q) -> tuple[float, float, float]:
-    """Per-class Hamiltonian multipliers of ``q`` relative to ``base`` —
-    (coupling, transverse, longitudinal). Raises ``ValueError`` when the
-    graphs are not class-proportional (then no label-swap representation
-    exists; the reference walks every bond instead,
-    ``tempering_traits.rs:117-155``)."""
+def _canonical_edge_map(edges) -> dict:
+    """Map ``(min(a,b), max(a,b)) -> J`` so edge *sets* compare independent
+    of listing order."""
+    m = {}
+    for (a, b), j in edges:
+        k = (min(a, b), max(a, b))
+        if k in m:
+            raise ValueError(f"duplicate edge {k}")
+        m[k] = float(j)
+    return m
 
-    def ratio(a: float, b: float, what: str) -> float:
-        if abs(a) < 1e-12 and abs(b) < 1e-12:
-            return 1.0
-        if abs(a) < 1e-12:
-            raise ValueError(f"cannot temper {what} against a zero base value")
-        return b / a
 
-    if base.edges:
-        r = np.array(
-            [ratio(jb, jq, "couplings")
-             for (_, jb), (_, jq) in zip(base.edges, q.edges)]
+def _ratio(a: float, b: float, what: str) -> float:
+    if abs(a) < 1e-12 and abs(b) < 1e-12:
+        return 1.0
+    if abs(a) < 1e-12 or abs(b) < 1e-12 or (a > 0) != (b > 0):
+        raise ValueError(
+            f"no positive weight ratio for {what}: {a} vs {b} — a label swap "
+            "cannot represent a sign flip (weight-table zeros move); use "
+            "opstring.log_relative_weight + swap_manager_and_state instead"
         )
-        if np.max(np.abs(r - r[0])) > 1e-9 * max(1.0, abs(float(r[0]))):
-            raise ValueError(
-                "couplings must be a uniform multiple of the first graph's"
-            )
-        cs = float(r[0])
-    else:
-        cs = 1.0
-    ts = ratio(base.transverse, q.transverse, "transverse field")
-    ls = ratio(base.longitudinal, q.longitudinal, "longitudinal field")
-    return cs, ts, ls
+    return b / a
+
+
+def _relative_bond_scales(base, q) -> np.ndarray:
+    """Per-bond weight multipliers of ``q`` relative to ``base``:
+    ``f32[NB]`` in the base graph's bond layout (``qmc_ising.rs:186-205``).
+
+    A positive per-bond factor multiplies the bond's whole weight table
+    (``|J| ± J`` scales linearly in ``|J|`` at fixed sign), so it cancels in
+    the same-bond weight ratios of the cluster/loop/RVB acceptances and
+    enters only the diagonal update and the swap acceptance — the per-bond
+    Ising path of the reference (``tempering_traits.rs:117-155``). This
+    accepts arbitrary same-sign coupling disorder (e.g. different disorder
+    realizations of |J|); it raises ``ValueError`` when no positive factor
+    exists (sign flip, zero/nonzero mismatch, different edge sets)."""
+    mb = _canonical_edge_map(base.edges)
+    mq = _canonical_edge_map(q.edges)
+    if set(mb) != set(mq):
+        raise ValueError("graphs must share the edge set")
+    ne = len(base.edges)
+    n = base.nvars
+    nb = base.model.nbonds
+    scale = np.ones(nb, np.float32)
+    for i, ((a, b), jb) in enumerate(base.edges):
+        k = (min(a, b), max(a, b))
+        scale[i] = _ratio(jb, mq[k], f"edge {k} coupling")
+    scale[ne : ne + n] = _ratio(
+        base.transverse, q.transverse, "transverse field"
+    )
+    if nb > ne + n:
+        scale[ne + n :] = _ratio(
+            base.longitudinal, q.longitudinal, "longitudinal field"
+        )
+    elif abs(base.longitudinal - q.longitudinal) > 1e-12:
+        raise ValueError("longitudinal fields differ but base has no h bonds")
+    return scale
 
 
 def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
@@ -105,15 +141,17 @@ def tempering_step(
     betas: jax.Array,  # f32[R]
     key: jax.Array,
     parity: jax.Array,  # 0: pairs (0,1),(2,3)...; 1: pairs (1,2),(3,4)...
-    n_class: jax.Array | None = None,  # i32[R, C] per-class op counts
-    log_c: jax.Array | None = None,  # f32[R, C] log class multipliers
+    n_class: jax.Array | None = None,  # i32[R, NB] per-bond op counts
+    log_c: jax.Array | None = None,  # f32[R, NB] log bond multipliers
 ) -> tuple[jax.Array, jax.Array]:
     """One neighbor-swap sweep. Returns ``(perm i32[R], n_swaps)`` where
     ``perm[r]`` is the replica whose parameter labels replica ``r`` takes
     (identity where no swap), mirroring ``swap_on_chunks``
     (``tempering_container.rs:274-302``). ``parity`` may be a traced scalar
     so alternating sweeps compose inside a ``lax.scan``
-    (:func:`tempering_sweep_chunk`)."""
+    (:func:`tempering_sweep_chunk`). ``n_class``/``log_c`` work for any
+    per-replica count/log-multiplier table sharing a trailing axis — the
+    container passes per-*bond* tables (``tempering_traits.rs:117-155``)."""
     R = betas.shape[0]
     order = jnp.argsort(betas)  # ascending beta, rank -> replica
     b_sorted = betas[order]
@@ -149,6 +187,60 @@ def tempering_step(
     return perm, jnp.sum(accept_start.astype(jnp.int32))
 
 
+def swap_qmc_steppers(g_a, beta_a: float, g_b, beta_b: float, key) -> int:
+    """Metropolis swap attempt between two arbitrary :class:`QmcIsingGraph`
+    ensembles — the generic ``OpWeights`` fallback for Hamiltonian pairs
+    with NO label-swap representation (e.g. sign-flipped bonds): the
+    reference walks every op (``tempering_traits.rs:163-196``) and swaps
+    manager+state pointers (``swap_on_chunks``,
+    ``tempering_container.rs:274-302``; ``qmc_ising.rs:593-602``).
+
+    Per replica lane ``r`` the acceptance is
+
+    ``log p = (n_b - n_a) log(beta_a/beta_b)
+              + log W(a's string | H_b)/W(a's string | H_a)
+              + log W(b's string | H_a)/W(b's string | H_b)``
+
+    with the relative weights from one op-walk each
+    (:func:`~isingmontecarlo_tpu.sse.opstring.log_relative_weight`); accepted
+    lanes exchange their (op string, p=0 state) payloads in place. Returns
+    the number of swapped replicas."""
+    assert g_a.can_swap_managers(g_b), "graph shapes do not match"
+    m = max(g_a.cutoff, g_b.cutoff)
+    g_a.set_cutoff(m)
+    g_b.set_cutoff(m)
+    ops_a, ops_b = g_a.sse.ops, g_b.sse.ops
+    n_a = _ops.op_count(ops_a).astype(jnp.float32)
+    n_b = _ops.op_count(ops_b).astype(jnp.float32)
+    lw_ab, z_ab = _ops.log_relative_weight(ops_a, g_a.model, g_b.model)
+    lw_ba, z_ba = _ops.log_relative_weight(ops_b, g_b.model, g_a.model)
+    logp = (
+        (n_b - n_a) * (np.log(max(beta_a, 1e-30)) - np.log(max(beta_b, 1e-30)))
+        + lw_ab
+        + lw_ba
+    )
+    u = jax.random.uniform(key, n_a.shape)
+    acc = (~z_ab) & (~z_ba) & (jnp.log(jnp.maximum(u, 1e-30)) < logp)
+
+    def mix(a, b, lane_axis):
+        shape = [1] * a.ndim
+        shape[lane_axis] = a.shape[lane_axis]
+        msk = acc.reshape(shape)
+        return jnp.where(msk, b, a), jnp.where(msk, a, b)
+
+    bond_a, bond_b = mix(ops_a.bond, ops_b.bond, 1)
+    in_a, in_b = mix(ops_a.inputs, ops_b.inputs, 2)
+    out_a, out_b = mix(ops_a.outputs, ops_b.outputs, 2)
+    st_a, st_b = mix(g_a.sse.state, g_b.sse.state, 0)
+    g_a.sse = g_a.sse._replace(
+        ops=type(ops_a)(bond=bond_a, inputs=in_a, outputs=out_a), state=st_a
+    )
+    g_b.sse = g_b.sse._replace(
+        ops=type(ops_b)(bond=bond_b, inputs=in_b, outputs=out_b), state=st_b
+    )
+    return int(jnp.sum(acc.astype(jnp.int32)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -158,11 +250,10 @@ def tempering_step(
 def tempering_sweep_chunk(
     sse,
     betas: jax.Array,  # f32[R]
-    scales: jax.Array,  # f32[R, C]
+    scales: jax.Array,  # f32[R, NB] per-bond multipliers
     parity: jax.Array,  # i32[] swap parity at chunk entry
     do_swap: jax.Array,  # bool[T] swap after this sweep?
     model,
-    bond_class: jax.Array,  # i32[NB]
     nsweeps: int,
     hb=None,
     heatbath: bool = False,
@@ -189,7 +280,7 @@ def tempering_sweep_chunk(
 
     def body(carry, do_swap_t):
         sse, betas, scales_c, hb_c, parity, nswaps = carry
-        bond_scale = scales_c[:, bond_class] if hetero else None
+        bond_scale = scales_c if hetero else None
         new, _succ = sweep(
             sse, betas, model, hb=hb_c, heatbath=heatbath,
             bond_scale=bond_scale, cluster_caps=cluster_caps,
@@ -198,13 +289,11 @@ def tempering_sweep_chunk(
         new = new._replace(key=k_next)
         n = _ops.op_count(new.ops)
         if hetero:
-            bc = _ops.bond_counts(new.ops, model.nbonds)
-            n_class = jnp.zeros((R, N_CLASSES), jnp.int32)
-            n_class = n_class.at[:, bond_class].add(bc)
+            n_bond = _ops.bond_counts(new.ops, model.nbonds)
             log_c = jnp.log(jnp.maximum(scales_c, 1e-30))
         else:
-            n_class = log_c = None
-        perm, nsw = tempering_step(n, betas, k_swap, parity, n_class, log_c)
+            n_bond = log_c = None
+        perm, nsw = tempering_step(n, betas, k_swap, parity, n_bond, log_c)
         perm = jnp.where(do_swap_t, perm, ident)
         betas = betas[perm]
         if hetero:
@@ -273,16 +362,16 @@ class TemperingContainer:
         ls = expand(longitudinal_scales)
         self.hetero = any(s is not None for s in (ts, cs, ls))
         ones = np.ones(R, np.float32)
-        # scales[r, class]: class 0 = two-site, 1 = transverse, 2 = longitudinal
-        self.scales = jnp.asarray(
-            np.stack(
-                [cs if cs is not None else ones,
-                 ts if ts is not None else ones,
-                 ls if ls is not None else ones], axis=1
-            )
-        )
+        per_class = np.stack(
+            [cs if cs is not None else ones,
+             ts if ts is not None else ones,
+             ls if ls is not None else ones], axis=1
+        )  # [R, 3]: class 0 = two-site, 1 = transverse, 2 = longitudinal
         m = self.graph.model
-        self.bond_class = tfim_bond_classes(len(edges), m.nvars, m.nbonds)
+        cls = np.asarray(tfim_bond_classes(len(edges), m.nvars, m.nbonds))
+        # Per-bond multipliers [R, NB] (class scales expanded; arbitrary
+        # per-bond disorder enters via add_qmc_stepper).
+        self.scales = jnp.asarray(per_class[:, cls])
         self._parity = 0
         self.total_swaps = 0
         self._key = jax.random.key(seed + 0x7E47)
@@ -312,18 +401,18 @@ class TemperingContainer:
         """Append a graph at inverse temperature ``beta``
         (``add_qmc_stepper``, ``tempering_container.rs:65-74``). Raises
         ``ValueError`` where the reference returns ``Err``: incompatible
-        shapes, different edge sets, or couplings that are not a uniform
-        multiple of the first graph's (the label-swap design tracks
-        per-*class* multipliers, see the module docstring)."""
+        shapes, different edge sets, or couplings with no positive per-bond
+        ratio to the first graph's (sign flips). Arbitrary same-sign per-bond
+        coupling disorder is accepted — the label-swap design tracks
+        per-*bond* multipliers, the reference's Ising ``relative_weight``
+        path (``tempering_traits.rs:117-155``)."""
         if self._pending is None or self.graph is not None:
             raise ValueError("container already materialized; add graphs first")
         if self._pending:
             base = self._pending[0][0]
             if q.nvars != base.nvars or q.model.nbonds != base.model.nbonds:
                 raise ValueError("graph shapes do not match the ladder")
-            if [tuple(e) for e, _ in q.edges] != [tuple(e) for e, _ in base.edges]:
-                raise ValueError("graphs must share the edge set")
-            _relative_scales(base, q)  # raises when not class-proportional
+            _relative_bond_scales(base, q)  # raises when not representable
         self._pending.append((q, float(beta)))
 
     def _finalize(self) -> None:
@@ -359,17 +448,12 @@ class TemperingContainer:
         )
         sc = np.concatenate(
             [
-                np.tile(
-                    np.asarray(_relative_scales(base, q), np.float32)[None],
-                    (q.replicas, 1),
-                )
+                np.tile(_relative_bond_scales(base, q)[None], (q.replicas, 1))
                 for q, _ in pend
             ]
-        )
+        )  # [R, NB]
         self.hetero = bool(np.max(np.abs(sc - 1.0)) > 1e-12)
         self.scales = jnp.asarray(sc)
-        m = g.model
-        self.bond_class = tfim_bond_classes(len(base.edges), m.nvars, m.nbonds)
         self._key = jax.random.key(self._seed + 0x7E47)
         if self._heatbath:
             self.set_enable_heatbath(True)
@@ -410,9 +494,24 @@ class TemperingContainer:
         return sub
 
     def _bond_scale(self) -> jax.Array | None:
-        if not self.hetero:
-            return None
-        return self.scales[:, self.bond_class]  # [R, NB]
+        return self.scales if self.hetero else None  # [R, NB]
+
+    @property
+    def class_scales(self) -> np.ndarray:
+        """``f32[R, 3]`` (coupling, transverse, longitudinal) multipliers,
+        read at a representative bond of each TFIM class — meaningful for
+        class-proportional ladders (the general state is per-bond
+        ``self.scales``)."""
+        self._finalize()
+        m = self.graph.model
+        ne = len(self.graph.edges)
+        n = m.nvars
+        sc = np.asarray(self.scales)
+        ones = np.ones(sc.shape[0], np.float32)
+        cs = sc[:, 0] if ne > 0 else ones
+        ts = sc[:, ne]
+        ls = sc[:, ne + n] if m.nbonds > ne + n else ones
+        return np.stack([cs, ts, ls], axis=1)
 
     # -- mirrors tempering_container.rs:77-81 ------------------------------
     def timesteps(self, t: int, chunk: int = 16) -> None:
@@ -449,14 +548,12 @@ class TemperingContainer:
         self._finalize()
         n = _ops.op_count(self.graph.sse.ops)
         if self.hetero:
-            bc = _ops.bond_counts(self.graph.sse.ops, self.graph.model.nbonds)
-            n_class = jnp.zeros((self.replicas, N_CLASSES), jnp.int32)
-            n_class = n_class.at[:, self.bond_class].add(bc)
+            n_bond = _ops.bond_counts(self.graph.sse.ops, self.graph.model.nbonds)
             log_c = jnp.log(jnp.maximum(self.scales, 1e-30))
         else:
-            n_class = log_c = None
+            n_bond = log_c = None
         perm, swaps = tempering_step(
-            n, self.betas, self._split(), self._parity, n_class, log_c
+            n, self.betas, self._split(), self._parity, n_bond, log_c
         )
         self.betas = self.betas[perm]
         if self.hetero:
@@ -513,7 +610,7 @@ class TemperingContainer:
             (g.sse, self.betas, self.scales, hb, parity, nswaps, _ns,
              st, bt) = tempering_sweep_chunk(
                 g.sse, self.betas, self.scales, self._parity, do_swap,
-                g.model, self.bond_class, todo,
+                g.model, todo,
                 hb=self._hb, heatbath=self._heatbath, hetero=self.hetero,
                 collect_states=any(samp), cluster_caps=g._cluster_caps,
             )

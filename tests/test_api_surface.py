@@ -437,7 +437,7 @@ class TestIncrementalTempering:
         tc.add_qmc_stepper(hot, 1.0)
         tc.timesteps(5)
         assert tc.hetero
-        sc = np.asarray(tc.scales)
+        sc = np.asarray(tc.class_scales)
         np.testing.assert_allclose(sc[0], [1.0, 1.0, 1.0])
         np.testing.assert_allclose(sc[1], [2.0, 0.5, 1.0], rtol=1e-6)
         tc.tempering_step()

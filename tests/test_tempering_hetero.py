@@ -56,7 +56,7 @@ class TestHeteroContainer:
         assert tc.verify()
         assert total > 0, "field ladder should exchange sometimes"
         # Labels stay a permutation of the original ladder.
-        got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
+        got = sorted(np.asarray(tc.class_scales[:, 1], np.float64).tolist())
         np.testing.assert_allclose(got, [0.6, 0.9, 1.2, 1.5], rtol=1e-6)
 
     def test_heatbath_hetero_ladder(self):
@@ -78,7 +78,7 @@ class TestHeteroContainer:
             tc.timesteps(3)
             total += tc.tempering_step()
         assert tc.verify()
-        got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
+        got = sorted(np.asarray(tc.class_scales[:, 1], np.float64).tolist())
         np.testing.assert_allclose(got, [0.7, 1.0, 1.4], rtol=1e-6)
 
     def test_heatbath_hetero_matches_ed(self):
@@ -104,7 +104,7 @@ class TestHeteroContainer:
 
         # Per-replica energy offset sum|J| + N * G * scale (qmc_ising.rs:97-99
         # with the replica's own transverse field).
-        scale_per_rep = np.asarray(tc.scales[:, 1], np.float64)
+        scale_per_rep = np.asarray(tc.class_scales[:, 1], np.float64)
         sum_j = sum(abs(j) for _, j in edges)
         offset_r = sum_j + L * 1.0 * scale_per_rep
 
@@ -160,7 +160,7 @@ class TestHeteroContainer:
         tc.tempering_step()
         tc.timesteps(2)
         assert tc.verify()
-        got = sorted(np.asarray(tc.scales[:, 1], np.float64).tolist())
+        got = sorted(np.asarray(tc.class_scales[:, 1], np.float64).tolist())
         np.testing.assert_allclose(
             got, sorted([0.6, 0.8, 0.9, 1.0, 1.1, 1.2, 1.4, 1.6] * 2), rtol=1e-6
         )
@@ -171,3 +171,165 @@ class TestHeteroContainer:
         ac = tc.calculate_variable_autocorrelations(12, swap_freq=3)
         assert ac.shape == (2, 12)
         assert ac[0, 0] == pytest.approx(1.0, abs=2e-2)
+
+
+def _disorder_edges(pattern):
+    """4-site ring with per-bond |J| pattern."""
+    base = lattice.chain(4, j=1.0)
+    return [(e, j * p) for (e, j), p in zip(base, pattern)]
+
+
+class TestPerBondDisorder:
+    """Per-bond coupling disorder — the reference's Ising relative_weight
+    walks every *bond* (``tempering_traits.rs:117-155``); the label-swap
+    container represents it with per-bond multipliers."""
+
+    def test_disordered_ladder_accepted_and_stationary(self):
+        """Two different |J| disorder realizations temper against each other;
+        per-label mean energies must match dense ED for each realization —
+        this validates both the per-bond diagonal sampling under swapped
+        labels and the per-bond swap acceptance."""
+        import jax
+
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+        from tests.test_sse import exact_tfim_energy
+
+        beta = 1.0
+        pat_a = [0.7, 1.3, 1.0, 1.0]
+        pat_b = [1.3, 0.7, 1.0, 1.0]  # same sum|J| => same energy offset
+        e_a = _disorder_edges(pat_a)
+        e_b = _disorder_edges(pat_b)
+        from isingmontecarlo_tpu.parallel import tempering as pt
+
+        tc = pt.new_with_rng(seed=4)
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_a, transverse=1.0, replicas=24, seed=1), beta
+        )
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_b, transverse=1.0, replicas=24, seed=2), beta
+        )
+        tc.timesteps(50)
+        assert tc.hetero
+
+        from isingmontecarlo_tpu.sse import opstring as _ops
+
+        es = []
+        labels = []
+        for i in range(150):
+            tc.timesteps(1)
+            if i % 2 == 0:
+                tc.tempering_step()
+            n = np.asarray(_ops.op_count(tc.graph.sse.ops), np.float64)
+            es.append(-n / beta + tc.graph.model.offset)
+            # label = scale of edge bond 0 (1.0 for pattern a, 1.3/0.7 for b)
+            labels.append(np.asarray(tc.scales[:, 0], np.float64))
+        assert tc.get_total_swaps() > 0, "disorder ladder should swap"
+        assert tc.verify()
+        es = np.stack(es)
+        labels = np.stack(labels)
+        is_a = np.isclose(labels, 1.0)
+        mean_a = float(es[is_a].mean())
+        mean_b = float(es[~is_a].mean())
+        ed_a = exact_tfim_energy(e_a, 1.0, 0.0, beta, 4)
+        ed_b = exact_tfim_energy(e_b, 1.0, 0.0, beta, 4)
+        # patterns are a relabeling of each other => ed_a == ed_b; the real
+        # check is that sampling under swapped labels stays stationary.
+        assert mean_a == pytest.approx(ed_a, abs=0.15)
+        assert mean_b == pytest.approx(ed_b, abs=0.15)
+
+    def test_edge_listing_order_canonicalized(self):
+        """Identical edge sets listed in different orders must be accepted
+        (matched by canonical (min,max) keys, not zip order)."""
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        e1 = [((0, 1), 1.0), ((1, 2), 0.5), ((2, 0), 1.0)]
+        e2 = [((2, 1), 0.75), ((1, 0), 1.5), ((0, 2), 1.5)]  # shuffled+flipped
+        tc = pt.new_with_rng(seed=0)
+        tc.add_qmc_stepper(QmcIsingGraph(e1, transverse=1.0, seed=0), 1.0)
+        tc.add_qmc_stepper(QmcIsingGraph(e2, transverse=1.0, seed=1), 1.0)
+        tc.timesteps(3)
+        assert tc.hetero
+        # scale of e1's second edge (1,2): 0.75/0.5 = 1.5
+        np.testing.assert_allclose(np.asarray(tc.scales)[1, 1], 1.5, rtol=1e-6)
+
+    def test_sign_flip_rejected(self):
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        e1 = _disorder_edges([1.0, 1.0, 1.0, 1.0])
+        e2 = _disorder_edges([-1.0, 1.0, 1.0, 1.0])
+        tc = pt.new_with_rng(seed=0)
+        tc.add_qmc_stepper(QmcIsingGraph(e1, transverse=1.0, seed=0), 1.0)
+        with pytest.raises(ValueError, match="sign flip"):
+            tc.add_qmc_stepper(QmcIsingGraph(e2, transverse=1.0, seed=1), 1.0)
+
+
+class TestGenericOpWalkSwap:
+    """The OpWeights fallback (``tempering_traits.rs:163-196``): op-walking
+    relative weights + manager/state payload swap for Hamiltonian pairs with
+    no label-swap representation."""
+
+    def test_log_relative_weight_matches_bond_count_formula(self):
+        """For scale-related Hamiltonians the op-walk product must equal
+        prod_b c_b^count(b) — cross-checked through bond counters."""
+        from isingmontecarlo_tpu.sse import opstring as _ops
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+        from isingmontecarlo_tpu.sse.model import tfim_model
+
+        edges = lattice.chain(4, j=1.0)
+        g = QmcIsingGraph(edges, transverse=0.8, replicas=8, seed=3)
+        g.timesteps(20, 1.0)
+        model_b = tfim_model([(e, 1.5 * j) for e, j in edges], 1.6)
+        logw, is_zero = _ops.log_relative_weight(
+            g.sse.ops, g.model, model_b
+        )
+        bc = np.asarray(
+            _ops.bond_counts(g.sse.ops, g.model.nbonds), np.float64
+        )
+        log_c = np.concatenate(
+            [np.full(4, np.log(1.5)), np.full(4, np.log(2.0))]
+        )
+        np.testing.assert_allclose(
+            np.asarray(logw, np.float64), bc @ log_c, rtol=1e-4, atol=1e-4
+        )
+        assert not np.any(np.asarray(is_zero))
+
+    def test_swap_qmc_steppers_stationary_vs_ed(self):
+        """Sign-flipped-bond pair (not label-swappable): payload swaps via
+        op-walk acceptance must leave each graph stationary under its OWN
+        Hamiltonian — checked against dense ED."""
+        import jax
+
+        from isingmontecarlo_tpu.parallel.tempering import swap_qmc_steppers
+        from isingmontecarlo_tpu.sse import opstring as _ops
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+        from tests.test_sse import exact_tfim_energy
+
+        beta = 1.0
+        e_a = _disorder_edges([1.0, 1.0, 1.0, 1.0])
+        e_b = _disorder_edges([-1.0, 1.0, 1.0, 1.0])  # one frustrated bond
+        g_a = QmcIsingGraph(e_a, transverse=1.0, replicas=24, seed=5)
+        g_b = QmcIsingGraph(e_b, transverse=1.0, replicas=24, seed=6)
+        g_a.timesteps(40, beta)
+        g_b.timesteps(40, beta)
+
+        key = jax.random.key(7)
+        swaps = 0
+        es_a, es_b = [], []
+        for i in range(120):
+            g_a.timesteps(1, beta)
+            g_b.timesteps(1, beta)
+            if i % 2 == 0:
+                key, sub = jax.random.split(key)
+                swaps += swap_qmc_steppers(g_a, beta, g_b, beta, sub)
+            na = np.asarray(_ops.op_count(g_a.sse.ops), np.float64)
+            nb = np.asarray(_ops.op_count(g_b.sse.ops), np.float64)
+            es_a.append(-na / beta + g_a.model.offset)
+            es_b.append(-nb / beta + g_b.model.offset)
+        assert swaps > 0, "op-walk swaps should sometimes accept"
+        assert g_a.verify() and g_b.verify()
+        ed_a = exact_tfim_energy(e_a, 1.0, 0.0, beta, 4)
+        ed_b = exact_tfim_energy(e_b, 1.0, 0.0, beta, 4)
+        assert float(np.mean(es_a)) == pytest.approx(ed_a, abs=0.15)
+        assert float(np.mean(es_b)) == pytest.approx(ed_b, abs=0.15)
