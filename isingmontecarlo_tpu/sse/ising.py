@@ -515,8 +515,20 @@ class QmcIsingGraph:
         return bool(jnp.all(_ops.verify(self.sse.ops, self.sse.state, self.model)))
 
     def imaginary_time_states(self) -> jax.Array:
-        """All propagated states ``bool[M, R, N]`` (``itime_fold``)."""
+        """All propagated states ``bool[M, R, N]`` (``itime_fold``).
+
+        Materializes O(M·R·N); for deep strings use
+        :meth:`imaginary_time_fold`."""
         return _ops.itime_states(self.sse.ops, self.sse.state, self.model)
+
+    def imaginary_time_fold(self, fold_fn, init):
+        """Streaming fold over all ``M`` propagated imaginary-time states
+        (``imaginary_time_fold``, ``qmc_stepper.rs:165-167``) without
+        materializing the trajectory; ``fold_fn(acc, state_at_p)`` must be
+        jax-traceable (runs inside ``lax.scan``)."""
+        return _ops.itime_fold(
+            self.sse.ops, self.sse.state, self.model, fold_fn, init
+        )
 
     # -- debug / introspection (qmc_debug.rs, qmc_ising.rs:489-494) --------
 

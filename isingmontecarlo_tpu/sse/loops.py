@@ -62,14 +62,26 @@ class _WalkCarry(NamedTuple):
     key: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("cap_hops", "return_stats"))
 def loop_update(
     ops: OpString,
     state: jax.Array,
     key: jax.Array,
     model: BondModel,
+    cap_hops: int | None = None,
+    return_stats: bool = False,
 ) -> tuple[OpString, jax.Array]:
-    """One directed-loop update per replica. Returns updated (ops, state)."""
+    """One directed-loop update per replica. Returns updated ``(ops, state)``
+    (plus ``reverted: bool[R]`` with ``return_stats``).
+
+    ``cap_hops`` overrides the default ``4*K*M + 16`` walk cap (the bias
+    test forces it small to exercise the revert path). Reverting a
+    non-closing walk wholesale preserves detailed balance: a directed loop
+    and its reversal visit the same ops with the same weight products, so
+    "closes within the cap" is symmetric between a move and its inverse —
+    capping is a symmetric proposal filter, not a bias
+    (``tests/test_sse.py::test_loop_cap_revert_unbiased`` checks this
+    against ED with a forced-small cap)."""
     M, R = ops.bond.shape
     K = ops.max_legs
     KM = K * M
@@ -177,7 +189,7 @@ def loop_update(
             key=key,
         )
 
-    cap = 4 * KM + 16
+    cap = 4 * KM + 16 if cap_hops is None else cap_hops
 
     def cond(c: _WalkCarry):
         return jnp.any(~c.done & active0) & (c.steps < cap)
@@ -207,4 +219,6 @@ def loop_update(
     new_outputs = ((so[None] >> bit) & 1).astype(bool)
     # Padded legs keep equal in/out (they are zero in substate encoding). ✓
     new_ops = OpString(bond=ops.bond, inputs=new_inputs, outputs=new_outputs)
+    if return_stats:
+        return new_ops, new_state, ~completed
     return new_ops, new_state

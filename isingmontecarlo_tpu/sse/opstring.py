@@ -236,6 +236,65 @@ def op_weights(ops: OpString, model: BondModel) -> jax.Array:
     return jnp.where(ops.bond >= 0, w, 1.0)
 
 
+def log_relative_weight(
+    ops: OpString, model_a: BondModel, model_b: BondModel
+) -> tuple[jax.Array, jax.Array]:
+    """Generic op-walking relative weight — the ``OpWeights`` fallback
+    (``OpWeights::relative_weight_for_hamiltonians``,
+    ``src/sse/parallel_tempering/tempering_traits.rs:163-196``): evaluate
+    every op's matrix element under both Hamiltonians' tables and product
+    the ratios. Returns ``(f32[R] log prod w_b/w_a, bool[R] is_zero)``;
+    ``is_zero`` marks replicas whose string has zero weight under ``model_b``
+    (the reference returns 0.0 there), where the log is meaningless.
+
+    Used for tempering between Hamiltonian pairs with no positive per-bond
+    scale (see :func:`isingmontecarlo_tpu.parallel.tempering.swap_qmc_steppers`).
+    """
+    wa = op_weights(ops, model_a)  # [M, R], 1.0 at identities
+    wb = op_weights(ops, model_b)
+    occupied = ops.bond >= 0
+    is_zero = jnp.any((wb <= 0.0) & occupied, axis=0)
+    logw = jnp.sum(
+        jnp.log(jnp.maximum(wb, 1e-30)) - jnp.log(jnp.maximum(wa, 1e-30)),
+        axis=0,
+    )
+    return logw, is_zero
+
+
+def itime_fold(ops: OpString, state: jax.Array, model: BondModel, fold_fn, init):
+    """Streaming ``imaginary_time_fold`` (``qmc_stepper.rs:165-167``): folds
+    ``fold_fn(acc, state_at_p)`` (``state_at_p: bool[R, N]``) over all ``M``
+    propagated imaginary-time states WITHOUT materializing the full
+    ``bool[M, R, N]`` trajectory (:func:`itime_states` does) — the right
+    shape for 32²/M≈7000 measurement folds. ``fold_fn`` must be traceable
+    (it runs inside ``lax.scan``); the accumulator can be any pytree."""
+    R = ops.replicas
+    K = ops.max_legs
+    vars_ = op_vars(ops, model)
+    valid = vars_ >= 0
+    rows = jnp.arange(R)
+
+    def step(carry, xs):
+        prop, acc = carry
+        vars_p, valid_p, out_p = xs
+        acc = fold_fn(acc, prop)
+        for l in range(K):
+            idx = jnp.where(valid_p[l], vars_p[l], model.nvars)
+            prop = prop.at[rows, idx].set(out_p[l], mode="drop")
+        return (prop, acc), None
+
+    (_, acc), _ = jax.lax.scan(
+        step,
+        (state, init),
+        (
+            jnp.moveaxis(vars_, 1, 0),
+            jnp.moveaxis(valid, 1, 0),
+            jnp.moveaxis(ops.outputs, 1, 0),
+        ),
+    )
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=())
 def verify(ops: OpString, state: jax.Array, model: BondModel) -> jax.Array:
     """Worldline integrity oracle per replica (``OpContainer::verify``,

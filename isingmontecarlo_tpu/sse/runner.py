@@ -28,7 +28,8 @@ from isingmontecarlo_tpu.sse.model import BondModel, generic_model
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nsweeps", "do_loops", "do_cluster", "heatbath", "cluster_caps"
+        "nsweeps", "do_loops", "do_cluster", "heatbath", "cluster_caps",
+        "loop_cap",
     ),
 )
 def generic_multi_sweep(
@@ -41,10 +42,12 @@ def generic_multi_sweep(
     heatbath: bool = False,
     hb=None,
     cluster_caps: tuple[int, int] | None = None,
+    loop_cap: int | None = None,
 ):
     """``nsweeps`` generic-engine timesteps (``qmc_runner.rs:363-377``:
     diagonal -> optional directed loop -> optional cluster -> free-bit
-    resample) under one jit. Returns ``(sse, op counts i32[T, R])``."""
+    resample) under one jit. Returns ``(sse, (op counts i32[T, R],
+    loop-cap reverts i32[T, R]))``."""
     from isingmontecarlo_tpu.sse import loops as _loops
 
     def body(sse, _):
@@ -53,8 +56,11 @@ def generic_multi_sweep(
             sse.ops, sse.state, beta, k_d, model, hb=hb, heatbath=heatbath
         )
         state = sse.state
+        reverted = jnp.zeros((state.shape[0],), bool)
         if do_loops:
-            ops, state = _loops.loop_update(ops, state, k_l, model)
+            ops, state, reverted = _loops.loop_update(
+                ops, state, k_l, model, cap_hops=loop_cap, return_stats=True
+            )
         has_op = None
         if do_cluster:
             lc, ec = cluster_caps if cluster_caps is not None else (None, None)
@@ -68,7 +74,7 @@ def generic_multi_sweep(
             )
         new = SseState(ops=ops, state=state, key=key)
         new = resample_free_spins(new, k_f, model, has_op=has_op)
-        return new, _ops.op_count(new.ops)
+        return new, (_ops.op_count(new.ops), reverted.astype(jnp.int32))
 
     return jax.lax.scan(body, sse, None, length=nsweeps)
 
@@ -156,6 +162,9 @@ class Qmc:
         self.replicas = replicas
         self.do_loop_updates = do_loop_updates
         self._do_heatbath = False
+        self._loop_cap: int | None = None
+        self.total_loop_reverts = 0
+        self.total_loop_updates = 0
         self._interactions: list[tuple[np.ndarray, list[int]]] = []
         self.offset = 0.0
         self.has_cluster_edges = False
@@ -309,8 +318,25 @@ class Qmc:
 
         sse = self._ensure_sse()
         key, k_l = jax.random.split(sse.key)
-        ops, state = _loops.loop_update(sse.ops, sse.state, k_l, self.model)
+        ops, state, reverted = _loops.loop_update(
+            sse.ops, sse.state, k_l, self.model, cap_hops=self._loop_cap,
+            return_stats=True,
+        )
+        self.total_loop_reverts += int(jnp.sum(reverted.astype(jnp.int32)))
+        self.total_loop_updates += self.replicas
         self._sse = sse._replace(ops=ops, state=state, key=key)
+
+    def set_loop_cap(self, cap_hops: int | None) -> None:
+        """Override the directed-loop walk cap (default ``4*K*M + 16``;
+        see ``loops.loop_update`` — non-closing walks revert and count in
+        :attr:`total_loop_reverts`)."""
+        self._loop_cap = cap_hops
+
+    def loop_revert_rate(self) -> float:
+        """Fraction of directed-loop walks that hit the cap and reverted
+        (instrumentation for the capped-walk deviation; the reference walks
+        forever, ``directed_loop.rs:177-301``)."""
+        return self.total_loop_reverts / max(self.total_loop_updates, 1)
 
     def cluster_update(self) -> None:
         """One cluster update only; raises on models without cluster edges
@@ -345,7 +371,7 @@ class Qmc:
         analog of ``multi_sweep``); returns per-sweep op counts ``i32[T, R]``
         and leaves the new state in ``self._sse``."""
         sse = self._ensure_sse()
-        self._sse, ns = generic_multi_sweep(
+        self._sse, (ns, reverts) = generic_multi_sweep(
             sse,
             jnp.float32(beta),
             self.model,
@@ -355,7 +381,11 @@ class Qmc:
             heatbath=self._do_heatbath,
             hb=self._hb if self._do_heatbath else None,
             cluster_caps=self._cluster_caps,
+            loop_cap=self._loop_cap,
         )
+        if self.do_loop_updates:
+            self.total_loop_reverts += int(jnp.sum(reverts))
+            self.total_loop_updates += self.replicas * nsweeps
         self._maybe_grow()
         return ns
 
@@ -455,6 +485,32 @@ class Qmc:
             t, beta, None, lambda acc, s: (iter_fn(s), acc)[1], sampling_freq
         )
         return energy
+
+    def timesteps_sample_iter_zip(
+        self, t: int, beta: float, sampling_freq, zip_with, iter_fn
+    ) -> jax.Array:
+        """Zip samples with an iterable (``qmc_stepper.rs:97-130``, a blanket
+        impl over every stepper in the reference): ``iter_fn(next(zip_with),
+        state)`` per sample, stopping the fold when the iterable runs out."""
+        it = iter(zip_with)
+
+        def fold(acc, s):
+            try:
+                z = next(it)
+            except StopIteration:
+                return acc
+            iter_fn(z, s)
+            return acc
+
+        _, energy = self.timesteps_measure(t, beta, None, fold, sampling_freq)
+        return energy
+
+    def imaginary_time_fold(self, fold_fn, init):
+        """Streaming fold over all ``M`` propagated imaginary-time states
+        (``qmc_stepper.rs:165-167``) without materializing ``bool[M, R, N]``;
+        ``fold_fn(acc, state_at_p)`` must be jax-traceable."""
+        sse = self._ensure_sse()
+        return _ops.itime_fold(sse.ops, sse.state, self.model, fold_fn, init)
 
     # -- manager/state swap (SwapManagers for Qmc, qmc_runner.rs:319-341) ---
 

@@ -151,6 +151,36 @@ class TestSampling:
         counts = opstring.bond_counts(g.sse.ops, g.model.nbonds)
         assert bool(jnp.all(counts.sum(axis=1) == g.get_n()))
 
+    def test_imaginary_time_fold_streams_without_materializing(self):
+        """The streaming fold (``qmc_stepper.rs:165-167``) must agree with a
+        fold over the materialized trajectory."""
+        edges = lattice.chain(4, j=1.0)
+        g = QmcIsingGraph(edges, transverse=1.0, replicas=4, seed=13)
+        g.timesteps(10, 1.0)
+        st = np.asarray(g.imaginary_time_states(), np.float64)  # [M, R, N]
+        want = st.sum(axis=0)
+        got = g.imaginary_time_fold(
+            lambda acc, s: acc + s.astype(jnp.float32),
+            jnp.zeros(g.sse.state.shape, jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(got, np.float64), want)
+
+    def test_timesteps_sample_iter_zip_generic(self):
+        """Qmc.timesteps_sample_iter_zip (``qmc_stepper.rs:97-130`` blanket
+        impl): folds stop when the zipped iterable is exhausted."""
+        from isingmontecarlo_tpu.sse.runner import Qmc
+
+        q = Qmc(3, replicas=4, seed=4)
+        q.make_diagonal_interaction_and_offset([-1.0, 1.0, 1.0, -1.0], [0, 1])
+        q.make_interaction([[0.7, 0.7], [0.7, 0.7]], [2])
+        seen = []
+        q.timesteps_sample_iter_zip(
+            12, 1.0, 2, ["a", "b", "c"],
+            lambda z, s: seen.append((z, s.shape)),
+        )
+        assert [z for z, _ in seen] == ["a", "b", "c"]
+        assert all(shape == (4, 3) for _, shape in seen)
+
 
 class TestGenericQmc:
     def test_tfim_via_interactions_matches_ising_graph(self):
@@ -227,6 +257,58 @@ class TestGenericQmc:
         exact = float(((w - w.min()) * z).sum() / z.sum()) + w.min()
         se = e.std() / np.sqrt(len(e))
         assert abs(e.mean() - exact) < max(4 * se, 0.08), (e.mean(), exact, se)
+
+    def test_loop_cap_revert_unbiased(self):
+        """The capped-walk revert deviation (``loops.py``; the reference
+        walks forever, ``directed_loop.rs:177-301``) must not bias the
+        stationary distribution: force a small cap so reverts actually fire,
+        then check the energy still matches dense ED. A directed loop and
+        its reversal traverse the same ops, so 'closes within the cap' is
+        symmetric between a move and its inverse."""
+        W = np.array(
+            [
+                [0.5, 0, 0, 0],
+                [0, 1.0, 0.7, 0],
+                [0, 0.7, 1.0, 0],
+                [0, 0, 0, 0.5],
+            ]
+        )
+        L, beta = 3, 1.2
+        q = Qmc(L, replicas=256, seed=2, do_loop_updates=True)
+        q.set_loop_cap(16)  # default is 4*K*M + 16; force frequent reverts
+        for a in range(L - 1):
+            q.make_interaction(W, [a, a + 1])
+        for _ in range(40):
+            q.timestep(beta)
+        q.total_loop_reverts = q.total_loop_updates = 0
+        total_n = jnp.zeros((256,), jnp.float32)
+        for _ in range(150):
+            q.timestep(beta)
+            total_n = total_n + q.get_n()
+        assert q.verify()
+        rate = q.loop_revert_rate()
+        assert 0.005 < rate < 0.95, f"cap must actually fire (rate={rate})"
+        e = np.asarray(-(total_n / 150) / beta)
+
+        dim = 1 << L
+        H = np.zeros((dim, dim))
+        for a in range(L - 1):
+            for idx in range(dim):
+                for jdx in range(dim):
+                    if (idx | (1 << a) | (1 << (a + 1))) != (
+                        jdx | (1 << a) | (1 << (a + 1))
+                    ):
+                        continue
+                    ia, ib = (idx >> a) & 1, (idx >> (a + 1)) & 1
+                    ja, jb = (jdx >> a) & 1, (jdx >> (a + 1)) & 1
+                    H[jdx, idx] += -W[(ja << 1) | jb, (ia << 1) | ib]
+        w = np.linalg.eigvalsh(H)
+        z = np.exp(-beta * (w - w.min()))
+        exact = float(((w - w.min()) * z).sum() / z.sum()) + w.min()
+        se = e.std() / np.sqrt(len(e))
+        assert abs(e.mean() - exact) < max(4 * se, 0.08), (
+            e.mean(), exact, se, rate,
+        )
 
     def test_symmetry_detection(self):
         q = Qmc(2, replicas=2, seed=14)
