@@ -305,3 +305,67 @@ class TestGraphStateSurface:
         bits, energy = lines[0].split("\t")
         assert set(bits) <= {"0", "1"} and len(bits) == 2
         float(energy)
+
+
+class TestWormBiasConvention:
+    def test_worm_biased_matches_exact_enumeration(self):
+        """h != 0 worm validation (the round-1 deviation stress ask): the
+        worm's close-time bias Metropolis test uses the physical energy
+        change of the net flip (``worm.py`` module docstring; the reference
+        evaluates the negation, ``graph.rs:303-306``). On a 3-site chain
+        with per-site biases the full move composition must sample the
+        exact Boltzmann distribution over all 8 states — a sign error in
+        the worm accept would skew this visibly (worms fire on ~1/3 of
+        steps)."""
+        edges = [((0, 1), 1.0), ((1, 2), 1.0)]
+        biases = [0.3, -0.2, 0.5]
+        beta = 0.8
+        R = 512
+        g = GraphState.new(edges, biases, replicas=R, seed=3)
+
+        # Exact distribution from the engine's own energy function.
+        probe = GraphState.new(edges, biases, replicas=1, seed=0)
+        e_exact = np.zeros(8)
+        for s in range(8):
+            probe.set_state(np.array([[bool(s >> v & 1) for v in range(3)]]))
+            e_exact[s] = float(np.asarray(probe.get_energy())[0])
+        w = np.exp(-beta * (e_exact - e_exact.min()))
+        p_exact = w / w.sum()
+
+        g.run_timesteps(60, beta)  # burn-in
+        counts = np.zeros(8)
+        nsteps = 240
+        for _ in range(nsteps):
+            g.do_time_step(beta)
+            st = np.asarray(g.state_ref())  # bool[R, 3]
+            idx = st[:, 0] + 2 * st[:, 1] + 4 * st[:, 2]
+            counts += np.bincount(idx, minlength=8)
+        p_emp = counts / counts.sum()
+        # ~123k correlated samples; 0.02 absolute is ~10x the wrong-sign skew
+        # detection threshold measured by flipping the convention by hand.
+        np.testing.assert_allclose(p_emp, p_exact, atol=0.02)
+
+    def test_worm_fires_and_reverts_consistently_with_bias(self):
+        """Worm-only stepping at h != 0 keeps the coupling energy exactly
+        conserved per accepted worm (zero-dE walks) while the bias term
+        fluctuates — a structural check that the bias accept gates whole
+        net-flips, not partial paths."""
+        edges = [((0, 1), 1.0), ((1, 2), 1.0), ((2, 0), 1.0)]
+        biases = [0.4, 0.0, -0.3]
+        beta = 1.0
+        g = GraphState.new(edges, biases, replicas=64, seed=8)
+        for _ in range(40):
+            spins_before = np.asarray(g.state_ref())
+            g.spins = worm.worm_sweep(g.spins, g._split(), beta, g.tables)
+            spins_after = np.asarray(g.state_ref())
+            # coupling-only energy must be unchanged by a worm sweep
+            def coupling_e(st):
+                e = np.zeros(st.shape[0])
+                for (a, b), j in edges:
+                    sa = 2.0 * st[:, a] - 1
+                    sb = 2.0 * st[:, b] - 1
+                    e += j * sa * sb
+                return e
+            np.testing.assert_allclose(
+                coupling_e(spins_before), coupling_e(spins_after), atol=1e-5
+            )
