@@ -22,8 +22,12 @@ echo "[measure_more] waiting for TPU tunnel..." >&2
 until probe; do sleep 120; done
 echo "[measure_more] tunnel up" >&2
 
-run() { # run <name> <timeout_s> <env...> <cmd...>
+run() { # run <name> <timeout_s> <env...> <cmd...> — skips completed steps
   local name=$1 to=$2; shift 2
+  if grep -q "^exit=0" "$OUT/$name.out" 2>/dev/null; then
+    echo "[measure_more] $name: already done, skipping" >&2
+    return 0
+  fi
   echo "[measure_more] $name" >&2
   timeout "$to" env "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
   echo "exit=$? $(date +%H:%M:%S)" >> "$OUT/$name.out"
