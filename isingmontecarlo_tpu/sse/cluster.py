@@ -35,6 +35,7 @@ also preserves all op weights — a strictly more ergodic, equally valid move.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -104,9 +105,24 @@ def _mm_take0(vals, idx, chunk=128):
 
 
 def _take0_fast(vals, idx):
-    """Platform-dispatched gather: MXU one-hot matmul on TPU for moderate row
-    counts (exact for int32 values < 2^24), native gather otherwise."""
+    """Platform-dispatched gather: the Pallas two-stage digit kernel
+    (``ops/take_kernel.py``, full MXU output width) when enabled and in
+    range, else the MXU one-hot einsum on TPU for moderate row counts
+    (exact for int32 values < 2^24), else the native gather."""
     rows = max(vals.shape[0], idx.shape[0])
+    use_kernel = (
+        _FORCE_TAKE_KERNEL
+        if _FORCE_TAKE_KERNEL is not None
+        else _TAKE_KERNEL_DEFAULT and jax.default_backend() == "tpu"
+    )
+    if use_kernel and vals.shape[0] <= (1 << 14):
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        out = take0(
+            vals.astype(jnp.int32), idx,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.astype(vals.dtype)
     if jax.default_backend() == "tpu" and rows <= 8192 and rows < (1 << 24):
         return _mm_take0(vals, idx)
     return jnp.take_along_axis(vals, idx, axis=0)
@@ -172,6 +188,14 @@ _SORT_BIG = jnp.int32(2**30)
 # Test hook: force the MXU root-stats path on (True) or off (False); None =
 # auto (TPU backend and label space under the one-hot breakeven).
 _FORCE_MM_STATS = None
+
+# The Pallas gather kernel (ops/take_kernel.py) is gated off until timed on
+# hardware (CLAUDE.md workflow for new kernels); all _take0_fast call sites
+# have values bounded by their table's row count, so the kernel's < 2^14
+# value range is implied by its row-count gate. Enable with
+# ISING_TAKE_KERNEL=1 or the _FORCE_TAKE_KERNEL test hook.
+_TAKE_KERNEL_DEFAULT = os.environ.get("ISING_TAKE_KERNEL", "") == "1"
+_FORCE_TAKE_KERNEL = None
 
 
 class SegGraph(NamedTuple):

@@ -37,6 +37,9 @@ run() { # run <name> <timeout_s> <env...> <cmd...> — skips completed steps
 # and runs on hardware before anything heavier).
 run diag_kernel_32 1800 ISING_DIAG_KERNEL=1 python scripts/profile_32.py 32 64
 probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
+# Pallas gather kernel vs the einsum/native paths + labels end-to-end.
+run take_kernel_32 2400 NONE=1 python scripts/profile_take.py 32 64
+probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run r_scaling 3000 NONE=1 python scripts/profile_r_scaling.py 32 1.0 64,128,256,512
 probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run ess32 3000 NONE=1 python scripts/ess32.py 32 64,128,256,512

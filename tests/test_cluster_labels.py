@@ -218,3 +218,43 @@ def test_wrap_einsum_matches_scatter_fallback(monkeypatch):
         a = np.asarray(getattr(sg_einsum, name))
         b = np.asarray(getattr(sg_scatter, name))
         assert np.array_equal(a, b), name
+
+
+def test_cluster_update_take_kernel_bit_identical(monkeypatch):
+    """Forcing the Pallas gather kernel (interpret mode on CPU) through
+    ``cluster_labels`` and a full ``cluster_update`` must be bit-identical
+    to the default gather path — the kernel is an exact gather, not an
+    alternate chain."""
+    import jax
+
+    edges = lattice.frustrated_square(3, 3)
+    g = QmcIsingGraph(
+        edges, transverse=1.0, longitudinal=0.3, replicas=4, seed=21
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 8)
+    g._maybe_grow()
+    ops, state = g.sse.ops, g.sse.state
+
+    monkeypatch.setattr(_cluster, "_FORCE_TAKE_KERNEL", False)
+    lab_ref = _cluster.cluster_labels(ops, g.model)
+    ops_ref, st_ref = _cluster.cluster_update(
+        ops, state, jax.random.key(5), g.model
+    )
+
+    monkeypatch.setattr(_cluster, "_FORCE_TAKE_KERNEL", True)
+    lab_k = _cluster.cluster_labels(ops, g.model)
+    # cluster_update is module-jitted: clear its cache so the hook is read
+    # again at trace time (otherwise this would compare the ref path to its
+    # own cached executable).
+    _cluster.cluster_update.clear_cache()
+    ops_k, st_k = _cluster.cluster_update(
+        ops, state, jax.random.key(5), g.model
+    )
+
+    assert np.array_equal(np.asarray(lab_ref), np.asarray(lab_k))
+    assert np.array_equal(np.asarray(ops_ref.bond), np.asarray(ops_k.bond))
+    assert np.array_equal(np.asarray(ops_ref.inputs), np.asarray(ops_k.inputs))
+    assert np.array_equal(
+        np.asarray(ops_ref.outputs), np.asarray(ops_k.outputs)
+    )
+    assert np.array_equal(np.asarray(st_ref), np.asarray(st_k))
