@@ -101,6 +101,14 @@ _SPEC_MIN_M = 2048
 # ISING_DIAG_KERNEL=1 env var or this hook to enable).
 _FORCE_CARRY_KERNEL = None
 _KERNEL_DEFAULT = os.environ.get("ISING_DIAG_KERNEL", "") == "1"
+
+# The flip-parity precompute can likewise run as a Pallas kernel
+# (ops/parity_kernel.py): the XOR word carry lives in VMEM and word
+# construction/fetch are compare-select sums, replacing the packed path's
+# one-hot einsums + multi-level associative_scan. Same gating discipline:
+# OFF pending hardware timing (ISING_PARITY_KERNEL=1 / hook to enable).
+_FORCE_PARITY_KERNEL = None
+_PARITY_KERNEL_DEFAULT = os.environ.get("ISING_PARITY_KERNEL", "") == "1"
 # Candidate window half-width for the speculative carry: the TRUE op count
 # at each block boundary must stay within +-_SPEC_WINDOW/2 of the frozen-n
 # estimate (see _carry_scan_spec pass 0), else the exact sequential fallback
@@ -167,6 +175,32 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None):
     vq = model.bond_vars[b_new]  # [M, R, K]
     q_ok = vq >= 0
     vq_s = jnp.where(q_ok, vq, 0)
+
+    use_parity_kernel = (
+        _FORCE_PARITY_KERNEL
+        if _FORCE_PARITY_KERNEL is not None
+        else _PARITY_KERNEL_DEFAULT and jax.default_backend() == "tpu"
+    )
+    if use_parity_kernel:
+        from isingmontecarlo_tpu.ops.parity_kernel import parity_bits
+
+        W = -(-N // 16)
+        # Exact integer word packing of the p=0 state (no bf16 round trip).
+        st_pad = jnp.pad(
+            state.astype(jnp.int32), ((0, 0), (0, 16 * W - N))
+        ).reshape(R, W, 16)
+        state_w = jnp.sum(
+            st_pad << jnp.arange(16, dtype=jnp.int32)[None, None, :], axis=-1
+        )
+        pb, sb = parity_bits(
+            jnp.zeros((R, W), jnp.int32), state_w, v_idx, tog, vq_s,
+            interpret=jax.default_backend() != "tpu",
+        )
+        bits_new = (sb ^ pb) & q_ok  # [M, R, K]
+        weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
+        si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)
+        w_new = row_select(model.diag_w, b_new, si_new)
+        return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
     cap = max_elems or (
         _PAR_MAX_ELEMS_PACKED if on_tpu else _PAR_MAX_ELEMS
     )

@@ -40,6 +40,13 @@ probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 # Pallas gather kernel vs the einsum/native paths + labels end-to-end.
 run take_kernel_32 2400 NONE=1 python scripts/profile_take.py 32 64
 probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
+# Pallas flip-parity kernel, then all three kernels together.
+run parity_kernel_32 1800 ISING_PARITY_KERNEL=1 python scripts/profile_32.py 32 64
+probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
+run allkernels_32 1800 ISING_DIAG_KERNEL=1 ISING_PARITY_KERNEL=1 ISING_TAKE_KERNEL=1 python scripts/profile_32.py 32 64
+probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
+run ess32_allkernels 3000 ISING_DIAG_KERNEL=1 ISING_PARITY_KERNEL=1 ISING_TAKE_KERNEL=1 python scripts/ess32.py 32 64,256
+probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run r_scaling 3000 NONE=1 python scripts/profile_r_scaling.py 32 1.0 64,128,256,512
 probe || { echo "[measure_more] tunnel dropped" >&2; exit 1; }
 run ess32 3000 NONE=1 python scripts/ess32.py 32 64,128,256,512

@@ -205,3 +205,39 @@ def test_chunked_precompute_matches_unchunked(packed, heatbath, monkeypatch):
     assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
     assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
     assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+@pytest.mark.parametrize(
+    "heatbath,replicas,N_odd",
+    [(False, 8, False), (True, 8, False), (False, 8, True), (False, 128, False)],
+)
+def test_parity_kernel_matches_packed(heatbath, replicas, N_odd, monkeypatch):
+    """The Pallas flip-parity kernel (interpreter mode here) must make the
+    full diagonal update bit-identical to the default precompute path.
+    ``N_odd`` uses a lattice whose variable count is not a multiple of 16
+    (exercises the sentinel/padding word handling)."""
+    edges = (
+        lattice.frustrated_square(3, 3) if N_odd
+        else lattice.frustrated_square(4, 4)
+    )
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=31)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.1), g.model, 10)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    hbt = _diag.make_heatbath_tables(model) if heatbath else None
+    key = jax.random.key(17)
+    a = _diag._diagonal_update_fast(
+        ops, state, jnp.float32(1.1), key, model, hb=hbt, heatbath=heatbath
+    )
+    monkeypatch.setattr(_diag, "_FORCE_PARITY_KERNEL", True)
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(1.1), key, model,
+            hb=hbt, heatbath=heatbath,
+        )
+    finally:
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
