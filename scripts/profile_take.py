@@ -93,6 +93,13 @@ for _ in range(4):
 ops0, model = g.sse.ops, g.model
 print(f"cutoff={g.cutoff}", file=sys.stderr)
 
+marginal(
+    "segment_graph (sorts+cumsum+wrap)",
+    lambda c, i: c + jnp.sum(_cluster.segment_graph(
+        ops0._replace(bond=ops0.bond + (i >> 30)), model).u),
+    n1=2, n2=6,
+)
+
 for force in (False, True):
     _cluster._FORCE_TAKE_KERNEL = force
     _cluster.cluster_update.clear_cache()
