@@ -45,8 +45,11 @@ def _kernel_metropolis(M):
             mmn = (M - n).astype(jnp.float32)
             ins = (idp_ref[j] != 0) & (u0 * mmn < ni_ref[j])
             rem = (dgp_ref[j] != 0) & (u0 * nr_ref[j] < mmn + 1.0)
-            out_ref[j] = ins.astype(jnp.int8) + 2 * rem.astype(jnp.int8)
-            return n + ins.astype(jnp.int32) - rem.astype(jnp.int32)
+            # Mosaic has no vector<i8> arithmetic — keep codes in i32.
+            insi = ins.astype(jnp.int32)
+            remi = rem.astype(jnp.int32)
+            out_ref[j] = insi + 2 * remi
+            return n + insi - remi
 
         n_scr[:] = jax.lax.fori_loop(0, C, body, n_scr[:])
 
@@ -76,8 +79,10 @@ def _kernel_heatbath(M):
             rem = (dgp_ref[j] != 0) & (
                 u0 * (mmn + 1.0 + bwt) < (mmn + 1.0)
             )
-            out_ref[j] = ins.astype(jnp.int8) + 2 * rem.astype(jnp.int8)
-            return n + ins.astype(jnp.int32) - rem.astype(jnp.int32)
+            insi = ins.astype(jnp.int32)
+            remi = rem.astype(jnp.int32)
+            out_ref[j] = insi + 2 * remi
+            return n + insi - remi
 
         n_scr[:] = jax.lax.fori_loop(0, C, body, n_scr[:])
 
@@ -118,10 +123,10 @@ def carry_decisions(
         return a.reshape(Mp, S, L)
 
     u0 = prep(u0, jnp.float32)
-    idp = prep(idp, jnp.int8)
-    dgp = prep(dgp, jnp.int8)
+    idp = prep(idp, jnp.int32)
+    dgp = prep(dgp, jnp.int32)
     if heatbath:
-        p1 = prep(p1, jnp.int8)
+        p1 = prep(p1, jnp.int32)
         p2 = None
     else:
         p1 = prep(p1, jnp.float32)
@@ -151,7 +156,7 @@ def carry_decisions(
         grid=(Mp // _BLOCK,),
         in_specs=ins,
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, S, L), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((Mp, S, L), jnp.int32),
         scratch_shapes=[pltpu.VMEM((S, L), jnp.int32)],
         interpret=interpret,
     )(*args)

@@ -66,8 +66,9 @@ def _kernel(K: int, W: int, par0_ref, statew_ref, v_ref, tog_ref, vq_ref,
             word_s = jnp.sum(jnp.where(sel, state_w, 0), axis=0,
                              keepdims=True)
             bit = vq % 16
-            pb_ref[j, k, :] = ((word_p >> bit) & 1).astype(jnp.int8)[0]
-            sb_ref[j, k, :] = ((word_s >> bit) & 1).astype(jnp.int8)[0]
+            # i32 codes throughout: Mosaic lacks vector<i8> arithmetic.
+            pb_ref[j, k, :] = ((word_p >> bit) & 1)[0]
+            sb_ref[j, k, :] = ((word_s >> bit) & 1)[0]
         tog_w = jnp.zeros_like(par)
         for k in range(K):
             v = v_row[k : k + 1, :]  # [1, R]; invalid legs carry tog=0
@@ -120,8 +121,8 @@ def parity_bits(
         in_specs=[full_spec, full_spec, row_spec, row_spec, row_spec],
         out_specs=[row_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((Mp, K, R), jnp.int8),
-            jax.ShapeDtypeStruct((Mp, K, R), jnp.int8),
+            jax.ShapeDtypeStruct((Mp, K, R), jnp.int32),
+            jax.ShapeDtypeStruct((Mp, K, R), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((W, R), jnp.int32)],
         interpret=interpret,
