@@ -36,9 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Slot rows per grid step. Inputs per row are [K, R] i32; 512 rows keep the
-# blocks at a few hundred KB while amortizing grid overhead.
-_BLOCK = 512
+# Slot rows per grid step: sized so the five streamed [B, K, R] i32 blocks
+# stay under ~4 MB combined (double buffering doubles the footprint), with
+# 512 rows at the benchmark replica counts.
+def _block_rows(K: int, R: int) -> int:
+    per_row = K * R * 4 * 5
+    return max(64, min(512, (4 << 20) // per_row // 64 * 64))
 
 
 def _kernel(K: int, W: int, par0_ref, statew_ref, v_ref, tog_ref, vq_ref,
@@ -97,7 +100,8 @@ def parity_bits(
     kernel streams all of M internally, so no carry is exposed)."""
     M, R, K = v_idx.shape
     W = par0.shape[1]
-    Mp = -(-M // _BLOCK) * _BLOCK
+    B = _block_rows(K, R)
+    Mp = -(-M // B) * B
 
     def prep(a, fill):
         a = a.astype(jnp.int32)
@@ -111,13 +115,13 @@ def parity_bits(
     tog_p = prep(tog, 0)
     vq_p = prep(vq, 0)
 
-    row_spec = pl.BlockSpec((_BLOCK, K, R), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((B, K, R), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((W, R), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     pb, sb = pl.pallas_call(
         functools.partial(_kernel, K, W),
-        grid=(Mp // _BLOCK,),
+        grid=(Mp // B,),
         in_specs=[full_spec, full_spec, row_spec, row_spec, row_spec],
         out_specs=[row_spec, row_spec],
         out_shape=[

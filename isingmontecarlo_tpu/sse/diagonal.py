@@ -105,10 +105,12 @@ _KERNEL_DEFAULT = os.environ.get("ISING_DIAG_KERNEL", "") == "1"
 # The flip-parity precompute can likewise run as a Pallas kernel
 # (ops/parity_kernel.py): the XOR word carry lives in VMEM and word
 # construction/fetch are compare-select sums, replacing the packed path's
-# one-hot einsums + multi-level associative_scan. Same gating discipline:
-# OFF pending hardware timing (ISING_PARITY_KERNEL=1 / hook to enable).
+# one-hot einsums + multi-level associative_scan. ON by default on TPU:
+# measured 2026-08-19 at 32^2 (M=5152, R=64) it takes diagonal_update from
+# 33.6 ms to 1.3 ms (full sweep 73 -> 43 ms alone). ISING_PARITY_KERNEL=0
+# disables.
 _FORCE_PARITY_KERNEL = None
-_PARITY_KERNEL_DEFAULT = os.environ.get("ISING_PARITY_KERNEL", "") == "1"
+_PARITY_KERNEL_DEFAULT = os.environ.get("ISING_PARITY_KERNEL", "") != "0"
 # Candidate window half-width for the speculative carry: the TRUE op count
 # at each block boundary must stay within +-_SPEC_WINDOW/2 of the frozen-n
 # estimate (see _carry_scan_spec pass 0), else the exact sequential fallback
