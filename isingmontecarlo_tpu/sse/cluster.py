@@ -430,6 +430,41 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
     return jax.lax.cond(fits, compact, full, None)
 
 
+def _scatter_min_rows(P, tgt, val):
+    """``P.at[tgt, cols].min(val)`` for per-lane target rows, computed with
+    two multi-operand sorts instead of a scatter.
+
+    TPU scalarizes per-lane scatters (~75M elements/s, linear in the [E, R]
+    grid AND in R); sorts run near memory rate and amortize over lanes. The
+    rewrite: append identity rows ``(s, P[s])`` to the ``(tgt, val)`` pairs,
+    2-key-sort so each target group's minimum sits at its head, then pack
+    the heads to the front in target order with a second sort. Every label
+    row appears (the identity rows guarantee it), so the first ``S`` packed
+    rows ARE the updated table — no scatter, no gather."""
+    S, R = P.shape
+    iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, R))
+    keys = jnp.concatenate([tgt, iota_s], axis=0)
+    vals = jnp.concatenate([val, P], axis=0)
+    sk, sv = jax.lax.sort((keys, vals), dimension=0, num_keys=2)
+    head = jnp.concatenate(
+        [jnp.ones((1, R), bool), sk[1:] != sk[:-1]], axis=0
+    )
+    k2 = jnp.where(head, sk, _SORT_BIG)
+    _, out = jax.lax.sort((k2, sv), dimension=0, num_keys=1)
+    return out[:S]
+
+
+# Sort-based hook write (see _scatter_min_rows): None = auto (TPU only;
+# the two extra sorts lose to the native scatter on CPU).
+_FORCE_SORT_SCATTER = None
+
+
+def _use_sort_scatter() -> bool:
+    if _FORCE_SORT_SCATTER is not None:
+        return _FORCE_SORT_SCATTER
+    return jax.default_backend() == "tpu"
+
+
 def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
     """Connected components over the (fixed) segment edge list by
     hook-and-compress (the bulk-synchronous union-find family of
@@ -449,6 +484,7 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
     E, R = u.shape
     cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
     P0 = jnp.tile(jnp.arange(S, dtype=jnp.int32)[:, None], (1, R))
+    sort_scatter = _use_sort_scatter()
 
     def body(state):
         P, _ = state
@@ -456,7 +492,10 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
         pv = _take0_fast(P, v)
         m = jnp.minimum(pu, pv)
         mx = jnp.maximum(pu, pv)
-        Pn = P.at[mx, cols].min(m)
+        if sort_scatter:
+            Pn = _scatter_min_rows(P, mx, m)
+        else:
+            Pn = P.at[mx, cols].min(m)
         for _ in range(n_compress):
             Pn = _take0_fast(Pn, Pn)
         return Pn, jnp.any(Pn != P)

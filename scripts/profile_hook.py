@@ -72,6 +72,13 @@ marginal(
                              .min(jnp.minimum(u, v))),
 )
 
+# The double-sort rewrite of the same write (cluster._scatter_min_rows).
+marginal(
+    "sort-min [E,R] -> [S,R]",
+    lambda c, i: c + jnp.sum(_cluster._scatter_min_rows(
+        P0, jnp.minimum(v + (i >> 30), S - 1), jnp.minimum(u, v))),
+)
+
 # One full hook round: 2 gathers + minmax + scatter + 2 compress jumps.
 def one_round(c, i):
     P = P0 + (i >> 30)

@@ -40,14 +40,21 @@ for R in R_LIST:
     sse, model = g.sse, g.model
 
     def mk(n):
+        # Chain the state through the scan and consume state + ops so the
+        # measured body is the real sweep: a non-chained body that only sums
+        # ``new.ops.bond`` lets XLA dead-code-eliminate the entire cluster
+        # update + resample (they touch inputs/outputs/state, not bond) —
+        # that bug made an earlier version of this script report ~3.8 ms
+        # "sweeps" that were just the diagonal update.
         @jax.jit
         def run(r):
-            def step(c, i):
-                new, _ = sweep(sse._replace(key=jax.random.key(i + r)), b,
+            def step(s, i):
+                new, _ = sweep(s._replace(key=jax.random.key(i + r)), b,
                                model)
-                return c + jnp.sum(new.ops.bond).astype(jnp.float32), None
-            out, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
-            return out
+                return new, None
+            out, _ = jax.lax.scan(step, sse, jnp.arange(n))
+            return (jnp.sum(out.ops.bond).astype(jnp.float32)
+                    + jnp.sum(out.state))
         return lambda r: run(jnp.int32(r * 131))
 
     f1, f2 = mk(2), mk(6)

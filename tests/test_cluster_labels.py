@@ -258,3 +258,55 @@ def test_cluster_update_take_kernel_bit_identical(monkeypatch):
         np.asarray(ops_ref.outputs), np.asarray(ops_k.outputs)
     )
     assert np.array_equal(np.asarray(st_ref), np.asarray(st_k))
+
+
+def test_scatter_min_rows_matches_native_scatter():
+    """The double-sort hook write (``_scatter_min_rows``) must be exactly
+    ``P.at[tgt, cols].min(val)`` — including repeated targets per lane and
+    rows no edge targets (identity rows keep them)."""
+    rng = np.random.default_rng(11)
+    S, E, R = 61, 143, 7
+    P = jnp.asarray(rng.integers(0, S, size=(S, R)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, S, size=(E, R)), jnp.int32)
+    val = jnp.asarray(rng.integers(0, S, size=(E, R)), jnp.int32)
+    cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
+    want = P.at[tgt, cols].min(val)
+    got = _cluster._scatter_min_rows(P, tgt, val)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_labels_sort_scatter_bit_identical(monkeypatch):
+    """Forcing the sort-based hook write must leave the label fixpoint (and
+    the whole cluster update chain) bit-identical to the native scatter: the
+    per-round parent tables are equal, so every RNG draw downstream sees the
+    same inputs."""
+    import jax
+
+    edges = lattice.frustrated_square(4, 3)
+    g = QmcIsingGraph(
+        edges, transverse=1.1, longitudinal=0.2, replicas=4, seed=23
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.0), g.model, 8)
+    g._maybe_grow()
+    ops, state = g.sse.ops, g.sse.state
+
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_SCATTER", False)
+    lab_ref = _cluster.cluster_labels(ops, g.model)
+    _cluster.cluster_update.clear_cache()
+    ops_ref, st_ref = _cluster.cluster_update(
+        ops, state, jax.random.key(9), g.model
+    )
+
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_SCATTER", True)
+    lab_s = _cluster.cluster_labels(ops, g.model)
+    _cluster.cluster_update.clear_cache()
+    ops_s, st_s = _cluster.cluster_update(
+        ops, state, jax.random.key(9), g.model
+    )
+
+    assert np.array_equal(np.asarray(lab_ref), np.asarray(lab_s))
+    assert np.array_equal(np.asarray(ops_ref.inputs), np.asarray(ops_s.inputs))
+    assert np.array_equal(
+        np.asarray(ops_ref.outputs), np.asarray(ops_s.outputs)
+    )
+    assert np.array_equal(np.asarray(st_ref), np.asarray(st_s))
