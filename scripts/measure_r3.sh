@@ -1,0 +1,49 @@
+#!/bin/bash
+# Third TPU measurement pass (sort-scatter hook write + k/R ESS sweep +
+# official bench records). Resumable: completed steps are skipped.
+#
+# Usage: bash scripts/measure_r3.sh [outdir]
+set -u
+OUT=${1:-/tmp/measure3_r2}
+mkdir -p "$OUT"
+cd /root/repo
+
+probe() {
+  timeout 120 python -c "
+import jax
+assert jax.devices()[0].platform == 'tpu'
+import jax.numpy as jnp
+assert float(jnp.sum(jnp.arange(8.0))) == 28.0
+" >/dev/null 2>&1
+}
+
+echo "[measure_r3] waiting for TPU tunnel..." >&2
+until probe; do sleep 120; done
+echo "[measure_r3] tunnel up" >&2
+
+run() { # run <name> <timeout_s> <cmd...> — skips completed steps
+  local name=$1 to=$2; shift 2
+  if grep -q "^exit=0" "$OUT/$name.out" 2>/dev/null; then
+    echo "[measure_r3] $name: already done, skipping" >&2
+    return 0
+  fi
+  echo "[measure_r3] $name" >&2
+  timeout "$to" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  echo "exit=$? $(date +%H:%M:%S)" >> "$OUT/$name.out"
+  probe || { echo "[measure_r3] tunnel dropped" >&2; exit 1; }
+}
+
+run hook_32 2400 python scripts/profile_hook.py 32 64
+run profile_32 2400 python scripts/profile_32.py 32 64
+run profile_32_r256 3000 python scripts/profile_32.py 32 256
+run ess32_k1 2400 python scripts/ess32.py 32 256 16 1
+run ess32_k2 2400 python scripts/ess32.py 32 256 16 2
+run ess32_k3 2400 python scripts/ess32.py 32 256 18 3
+run ess32_k4 2400 python scripts/ess32.py 32 256 20 4
+run ess32_k6 2400 python scripts/ess32.py 32 512 24 6
+run ess32_k3_r512 2400 python scripts/ess32.py 32 512 18 3
+run bench_headline 4200 env ISING_BENCH_WAIT=600 python bench.py
+run bench_suite 7200 env ISING_BENCH_WAIT=600 python bench.py --suite
+
+echo "[measure_r3] done" >&2
+date > "$OUT/done_at.txt"
