@@ -34,12 +34,14 @@ run() { # run <name> <timeout_s> <cmd...> — skips completed steps
 }
 
 run hook_32 2400 python scripts/profile_hook.py 32 64
+run hook_fastsv_32 2400 python scripts/profile_hook.py 32 64
 run profile_32 2400 python scripts/profile_32.py 32 64
 run profile_32_r256 3000 python scripts/profile_32.py 32 256
 run ess32_k1 2400 python scripts/ess32.py 32 256 16 1
 run ess32_k2 2400 python scripts/ess32.py 32 256 16 2
 run ess32_k3 2400 python scripts/ess32.py 32 256 18 3
 run ess32_k4 2400 python scripts/ess32.py 32 256 20 4
+run ess32_k3_fastsv 2400 env ISING_LABEL_ALGO=fastsv python scripts/ess32.py 32 256 18 3
 run ess32_k6 2400 python scripts/ess32.py 32 512 24 6
 run ess32_k3_r512 2400 python scripts/ess32.py 32 512 18 3
 run bench_headline 4200 env ISING_BENCH_WAIT=600 python bench.py
