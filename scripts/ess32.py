@@ -50,14 +50,20 @@ for R in R_LIST:
         if stable >= 2:
             break
     for _ in range(2):
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS, cluster_every=CK)
+        g.sse, ns, _, _ = multi_sweep(
+            g.sse, beta, g.model, NS,
+            cluster_caps=g._cluster_caps, cluster_every=CK,
+        )
         float(jnp.sum(ns))
         g._maybe_grow()
     best = float("inf")
     ns_all = []
     for _ in range(3):
         t0 = time.perf_counter()
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, NS, cluster_every=CK)
+        g.sse, ns, _, _ = multi_sweep(
+            g.sse, beta, g.model, NS,
+            cluster_caps=g._cluster_caps, cluster_every=CK,
+        )
         float(jnp.sum(ns))
         best = min(best, time.perf_counter() - t0)
         ns_all.append(np.asarray(ns))

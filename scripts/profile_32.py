@@ -39,6 +39,9 @@ sse = g.sse
 model = g.model
 ops0 = sse.ops
 state0 = sse.state
+caps = g._cluster_caps  # host-tracked static label/edge caps (production path)
+lc, ec = caps or (None, None)
+print(f"cluster caps: {caps}", file=sys.stderr)
 
 
 def marginal(name, body, n1=2, n2=6):
@@ -83,11 +86,17 @@ def _maps_body(c, i):
 marginal("worldline_maps", _maps_body)
 
 marginal("maps+cluster_labels", lambda c, i: c + jnp.sum(
-    _cluster.cluster_labels(ops0._replace(bond=ops0.bond + (i >> 30)), model)))
+    _cluster.cluster_labels(
+        ops0._replace(bond=ops0.bond + (i >> 30)), model,
+        label_cap=lc, edge_cap=ec,
+    )))
 
 
 def _cl_body(c, i):
-    o, s = _cluster.cluster_update(ops0, state0, jax.random.key(i), model)
+    o, s = _cluster.cluster_update(
+        ops0, state0, jax.random.key(i), model,
+        label_cap=lc, edge_cap=ec,
+    )
     return c + jnp.sum(o.bond) + jnp.sum(s)
 
 
@@ -95,7 +104,9 @@ marginal("cluster_update", _cl_body)
 
 
 def _sweep_body(c, i):
-    new, _ = sweep(sse._replace(key=jax.random.key(i)), beta, model)
+    new, _ = sweep(
+        sse._replace(key=jax.random.key(i)), beta, model, cluster_caps=caps
+    )
     return c + jnp.sum(new.ops.bond) + jnp.sum(new.state)
 
 
