@@ -126,30 +126,20 @@ def op_vars(ops: OpString, model: BondModel) -> jax.Array:
     return jnp.where((ops.bond >= 0)[None], vars_, -1)
 
 
-def worldline_order(ops: OpString, model: BondModel):
-    """The sorted-leg order info only (no successor/predecessor maps): one
-    sort of all legs by (variable, imaginary time). Returns ``(leg_var,
-    (order, svar, seg_start))`` — the subset of :func:`worldline_maps` needed
-    by consumers that work in sorted path space (the cluster update), saving
-    the successor/predecessor scatters."""
-    M, R = ops.bond.shape
-    K = ops.max_legs
-    KM = K * M
-    _BIG = jnp.int32(2**30)
+def _seg_broadcast(flags, vals, reverse: bool = False):
+    """Propagate ``vals`` from flagged rows forward (``reverse=False``) or
+    backward through each run — the segmented-broadcast associative scan
+    (combiner keeps the value of the most recent flagged row)."""
+    if reverse:
+        flags, vals = flags[::-1], vals[::-1]
 
-    b = jnp.maximum(ops.bond, 0)
-    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)
-    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
-    leg_var = vars_kmr.reshape(KM, R)
-    p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
 
-    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
-    order = jnp.argsort(key, axis=0).astype(jnp.int32)
-    svar = jnp.take_along_axis(leg_var, order, axis=0)
-    seg_start = jnp.concatenate(
-        [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
-    )
-    return leg_var, (order, svar, seg_start)
+    _, out = jax.lax.associative_scan(comb, (flags, vals), axis=0)
+    return out[::-1] if reverse else out
 
 
 def worldline_maps(ops: OpString, model: BondModel):
@@ -161,6 +151,14 @@ def worldline_maps(ops: OpString, model: BondModel):
     (order, svar, seg_start))`` with ``wnext/wprev/leg_var: i32[K*M, R]``
     (self-maps for invalid legs); the order info is reused by callers that
     need per-variable first-leg lookups.
+
+    Gather-free on the hot path: the flat index rides the leg sort as a
+    payload (multi-operand sort payloads are nearly free; per-lane
+    ``take_along_axis`` gathers scalarize on TPU — see CLAUDE.md), the
+    sorted variable comes back out of the sort key itself, wrap targets are
+    segmented-broadcast scans of ``order`` from run heads/tails, and the
+    back-permute to flat leg space is a second sort keyed by the
+    permutation.
     """
     M, R = ops.bond.shape
     K = ops.max_legs
@@ -172,37 +170,39 @@ def worldline_maps(ops: OpString, model: BondModel):
     vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
     leg_var = vars_kmr.reshape(KM, R)
     p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
+    self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
 
-    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG)
-    order = jnp.argsort(key, axis=0).astype(jnp.int32)
-    svar = jnp.take_along_axis(leg_var, order, axis=0)
+    # Unique keys (invalid legs tie-break by flat index, matching the old
+    # stable argsort), so the sort is a bijection with deterministic order.
+    key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _BIG + self_f)
+    skey, order = jax.lax.sort((key, self_f), dimension=0, num_keys=1)
+    svar = jnp.where(skey < _BIG, skey // M, -1)
 
-    j = jnp.arange(KM, dtype=jnp.int32)[:, None]
     seg_start = jnp.concatenate(
         [jnp.ones((1, R), bool), svar[1:] != svar[:-1]], axis=0
     )
     seg_end = jnp.concatenate(
         [svar[:-1] != svar[1:], jnp.ones((1, R), bool)], axis=0
     )
-    group_start = jax.lax.cummax(jnp.where(seg_start, j, 0), axis=0)
-    group_end = jax.lax.cummax(jnp.where(seg_end[::-1], j, 0), axis=0)[::-1]
-    group_end = KM - 1 - group_end  # undo the reversed index space
+    # Flat index of each run's first/last leg, broadcast over the run: the
+    # periodic wrap targets for the run's tail/head.
+    first_ord = _seg_broadcast(seg_start, order)
+    last_ord = _seg_broadcast(seg_end, order, reverse=True)
     nxt_same = jnp.concatenate(
         [svar[1:] == svar[:-1], jnp.zeros((1, R), bool)], axis=0
     )
     prv_same = jnp.concatenate(
         [jnp.zeros((1, R), bool), svar[:-1] == svar[1:]], axis=0
     )
-    next_pos = jnp.where(nxt_same, jnp.minimum(j + 1, KM - 1), group_start)
-    prev_pos = jnp.where(prv_same, jnp.maximum(j - 1, 0), group_end)
-    tgt_next = jnp.take_along_axis(order, next_pos, axis=0)
-    tgt_prev = jnp.take_along_axis(order, prev_pos, axis=0)
+    ord_up = jnp.concatenate([order[1:], order[-1:]], axis=0)
+    ord_dn = jnp.concatenate([order[:1], order[:-1]], axis=0)
+    tgt_next = jnp.where(nxt_same, ord_up, first_ord)
+    tgt_prev = jnp.where(prv_same, ord_dn, last_ord)
 
     # Back-permute to flat leg space with a sort keyed by the permutation
     # (order is a bijection, so payload row j lands at row order[j]) — one
     # multi-operand sort instead of two per-lane [KM, R] scatters, which TPU
     # scalarizes (~linear in grid elements; see CLAUDE.md sort note).
-    self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
     _, wnext, wprev = jax.lax.sort(
         (order, tgt_next, tgt_prev), dimension=0, num_keys=1
     )
