@@ -42,6 +42,7 @@ run ess32_k2 2400 python scripts/ess32.py 32 256 16 2
 run ess32_k3 2400 python scripts/ess32.py 32 256 18 3
 run ess32_k4 2400 python scripts/ess32.py 32 256 20 4
 run ess32_k3_fastsv 2400 env ISING_LABEL_ALGO=fastsv python scripts/ess32.py 32 256 18 3
+run profile_sortk 3600 python scripts/profile_sortk.py 32 256
 run ess32_k6 2400 python scripts/ess32.py 32 512 24 6
 run ess32_k3_r512 2400 python scripts/ess32.py 32 512 18 3
 run ess32_k8_r512 2400 python scripts/ess32.py 32 512 32 8

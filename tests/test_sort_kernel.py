@@ -81,3 +81,64 @@ def test_sentinel_big_keys_sort_last():
     np.testing.assert_array_equal(
         np.asarray(gp)[valid[:, 0], 0], np.asarray(wp)[valid[:, 0], 0]
     )
+
+
+def test_cluster_path_bit_identical_under_sort_kernel(monkeypatch):
+    """segment_graph, cluster_labels and cluster_update must be bit-identical
+    with the packed sort-kernel paths forced on (interpret mode off-TPU):
+    every packed rewrite is exact and no consumer depends on tie order."""
+    from isingmontecarlo_tpu import lattice
+    from isingmontecarlo_tpu.sse import cluster as _cluster
+    from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+    edges = lattice.frustrated_square(4, 3)
+    g = QmcIsingGraph(
+        edges, transverse=1.1, longitudinal=0.2, replicas=4, seed=11
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.0), g.model, 8)
+    g._maybe_grow()
+    ops, state = g.sse.ops, g.sse.state
+    lc, ec = g._cluster_caps or (None, None)
+
+    def run():
+        _cluster.cluster_update.clear_cache()
+        sg = _cluster.segment_graph(ops, g.model)
+        lab = _cluster.cluster_labels(ops, g.model, label_cap=lc, edge_cap=ec)
+        o2, s2 = _cluster.cluster_update(
+            ops, state, jax.random.key(3), g.model, label_cap=lc, edge_cap=ec
+        )
+        return jax.tree.map(np.asarray, (tuple(sg[:-1]), lab, tuple(o2), s2))
+
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_KERNEL", False)
+    base = run()
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_KERNEL", True)
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_SCATTER", True)
+    kern = run()
+    for b, k in zip(jax.tree.leaves(base), jax.tree.leaves(kern)):
+        np.testing.assert_array_equal(b, k)
+
+
+def test_compaction_fallback_bit_identical(monkeypatch):
+    """Force the sort-compacted wrap-edge fallback (the 32^2-size branch) and
+    check the merged single-compaction-sort produces identical SegGraphs with
+    the kernel on and off."""
+    from isingmontecarlo_tpu import lattice
+    from isingmontecarlo_tpu.sse import cluster as _cluster
+    from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
+
+    monkeypatch.setattr(_cluster, "_WRAP_EINSUM_MAX", 0)
+    edges = lattice.frustrated_square(4, 4)
+    g = QmcIsingGraph(edges, transverse=1.0, replicas=3, seed=5)
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 8)
+    ops = g.sse.ops
+
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_KERNEL", False)
+    base = jax.tree.map(
+        np.asarray, tuple(_cluster.segment_graph(ops, g.model)[:-1])
+    )
+    monkeypatch.setattr(_cluster, "_FORCE_SORT_KERNEL", True)
+    kern = jax.tree.map(
+        np.asarray, tuple(_cluster.segment_graph(ops, g.model)[:-1])
+    )
+    for b, k in zip(jax.tree.leaves(base), jax.tree.leaves(kern)):
+        np.testing.assert_array_equal(b, k)
