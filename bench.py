@@ -162,12 +162,20 @@ def bench_classical(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     }
 
 
-def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
+def bench_sse(
+    L: int, replicas: int, nsweeps: int, reps: int, cluster_every: int = 1
+) -> dict:
     """Secondary: SSE TFIM sweeps/sec and energy-ESS/sec on the reference's
     LxL benchmark lattice. ESS uses the integrated autocorrelation time of
     the per-sweep energy estimator (op count), summed over independent
     replicas — the same methodology as the single-core denominator
-    (scripts/ref_cpu_bench.sh)."""
+    (scripts/ref_cpu_bench.sh). ``cluster_every=k`` thins the cluster update
+    to every k-th timestep (the measured throughput/autocorrelation optimum
+    at 32^2 is k~3; see scripts/ess32.py sweeps).
+
+    Synchronization: ``jax.block_until_ready`` does NOT synchronize over the
+    TPU tunnel in this image (see CLAUDE.md) — every timed round ends with a
+    device-to-host readback instead."""
     from isingmontecarlo_tpu import lattice
     from isingmontecarlo_tpu.analysis import effective_sample_size
     from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
@@ -180,22 +188,23 @@ def bench_sse(L: int, replicas: int, nsweeps: int, reps: int) -> dict:
     stable = 0
     for _ in range(40):
         g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, 2)
-        jax.block_until_ready(ns)
+        float(jnp.sum(ns))
         before = g.cutoff
         g._maybe_grow()
         stable = stable + 1 if g.cutoff == before else 0
         if stable >= 2:
             break
+    kw = dict(cluster_caps=g._cluster_caps, cluster_every=cluster_every)
     for _ in range(2):
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
-        jax.block_until_ready(ns)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps, **kw)
+        float(jnp.sum(ns))
         g._maybe_grow()
     best = float("inf")
     ns_all = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps)
-        jax.block_until_ready(ns)
+        g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, nsweeps, **kw)
+        float(jnp.sum(ns))
         best = min(best, time.perf_counter() - t0)
         ns_all.append(np.asarray(ns))
     series = np.concatenate(ns_all, axis=0)  # [reps*nsweeps, R]
@@ -400,9 +409,13 @@ def main() -> None:
         except Exception as e:  # diagnostics must not kill the record
             print(f"sse diagnostic failed: {e}", file=sys.stderr)
         if not args.smoke:
-            # North star #2: ESS/sec on the 32^2 SSE TFIM (BASELINE.md).
+            # North star #2: ESS/sec on the 32^2 SSE TFIM (BASELINE.md),
+            # at the measured throughput/autocorrelation optimum
+            # (R=256, cluster update every 3rd timestep; scripts/ess32.py).
             try:
-                s32 = bench_sse(L=32, replicas=64, nsweeps=8, reps=2)
+                s32 = bench_sse(
+                    L=32, replicas=256, nsweeps=18, reps=2, cluster_every=3
+                )
                 print(f"sse 32x32: {s32}", file=sys.stderr)
             except Exception as e:
                 print(f"sse 32x32 diagnostic failed: {e}", file=sys.stderr)

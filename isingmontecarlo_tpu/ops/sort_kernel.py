@@ -50,13 +50,18 @@ def _stage(xs, N, RB, k_bits, j, descending):
     kr = xs[0].reshape(G, 2, d, RB)
     ka, kb = kr[:, 0], kr[:, 1]  # [G, d, RB]
     if k_bits is None:
-        asc = not descending
-        swap = ka > kb if asc else ka < kb
+        swap = (ka > kb) if not descending else (ka < kb)
     else:
+        # Signed-arithmetic predicate: Mosaic has no select over i1 vectors
+        # (bool-valued jnp.where lowers to an unsupported i8->i1 trunci).
+        # sign = +1 for ascending blocks, -1 for descending; keys are
+        # non-negative (pad INT32_MAX), so ka - kb never overflows.
         g = jax.lax.broadcasted_iota(jnp.int32, (G, d, RB), 0)
         bit = (g >> (k_bits - j - 1)) & 1
-        asc = (bit == 0) if not descending else (bit == 1)
-        swap = jnp.where(asc, ka > kb, ka < kb)
+        sign = 1 - 2 * bit
+        if descending:
+            sign = -sign
+        swap = sign * (ka - kb) > 0
     out = []
     for x in xs:
         xr = x.reshape(G, 2, d, RB)

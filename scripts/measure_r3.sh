@@ -49,6 +49,7 @@ run ess32_k8_r512 2400 python scripts/ess32.py 32 512 32 8
 run ess32_k3_r1024 3000 python scripts/ess32.py 32 1024 18 3
 run tempering_16 2400 python scripts/profile_tempering.py 16 64
 run profile_cluster_r256 3000 python scripts/profile_cluster.py 32 256
+run bench_smoke 1800 env ISING_BENCH_WAIT=600 python bench.py --smoke
 run bench_headline 4200 env ISING_BENCH_WAIT=600 python bench.py
 run bench_suite 7200 env ISING_BENCH_WAIT=600 python bench.py --suite
 
