@@ -10,10 +10,18 @@ time, summed over independent replicas).
 
 Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps] [cluster_every]
 """
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("ISING_FORCE_CPU") == "1":
+    # For CPU smoke drives (bench.py's _ess32_record test path): the
+    # JAX_PLATFORMS env var is ignored in this image (CLAUDE.md), so force
+    # the backend programmatically before any use.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
