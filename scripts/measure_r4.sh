@@ -21,6 +21,10 @@ assert float(jnp.sum(jnp.arange(8.0))) == 28.0
 echo "[measure_r4] waiting for TPU tunnel..." >&2
 until probe; do sleep 120; done
 echo "[measure_r4] tunnel up" >&2
+# Single CPU core: flag measurement-in-progress so the test runner's
+# YIELD_WHILE gate (scripts/run_tests.sh) pauses between files.
+touch /tmp/tpu_busy
+trap 'rm -f /tmp/tpu_busy' EXIT
 
 run() { # run <name> <timeout_s> <cmd...> — skips completed steps
   local name=$1 to=$2; shift 2
