@@ -42,12 +42,20 @@ _MAX_SINGLE = 8192  # one-kernel row limit (VMEM: nops * N * 512B in place)
 _MAX_ROWS = 16384  # split-path limit
 
 
-def _stage(xs, N, RB, k_bits, j, descending):
+def _stage_refs(refs, N, RB, k_bits, j, descending):
     """One compare-exchange stage at distance 2^j inside a 2^k_bits-block
-    bitonic pass (k_bits == None -> uniform direction: the merge stages)."""
+    bitonic pass (k_bits == None -> uniform direction: the merge stages),
+    applied in place to ``refs`` (operand 0 = key).
+
+    Ref-at-a-time form: the swap mask is computed once from the key, then
+    each operand is loaded, permuted, and stored back before the next is
+    touched. This bounds Mosaic's scoped-VMEM stack to ~one operand's
+    temporaries plus the mask — the value-chained form kept every unrolled
+    stage's copies live at once (~16 x [N, 128] i32 = 64 MB at N=8192,
+    over the 16 MB limit; observed on hardware 2026-08-19)."""
     d = 1 << j
     G = N >> (j + 1)
-    kr = xs[0].reshape(G, 2, d, RB)
+    kr = refs[0][:].reshape(G, 2, d, RB)
     ka, kb = kr[:, 0], kr[:, 1]  # [G, d, RB]
     if k_bits is None:
         swap = (ka > kb) if not descending else (ka < kb)
@@ -62,34 +70,33 @@ def _stage(xs, N, RB, k_bits, j, descending):
         if descending:
             sign = -sign
         swap = sign * (ka - kb) > 0
-    out = []
-    for x in xs:
-        xr = x.reshape(G, 2, d, RB)
+    for r in refs:
+        xr = r[:].reshape(G, 2, d, RB)
         xa, xb = xr[:, 0], xr[:, 1]
         na = jnp.where(swap, xb, xa)
         nb = jnp.where(swap, xa, xb)
-        out.append(
-            jnp.concatenate([na[:, None], nb[:, None]], axis=1).reshape(N, RB)
+        r[:] = jnp.concatenate([na[:, None], nb[:, None]], axis=1).reshape(
+            N, RB
         )
-    return out
 
 
 def _kernel(nops, L, descending, merge_only, *refs):
     in_refs = refs[:nops]
     out_refs = refs[nops:]
-    xs = [r[:] for r in in_refs]
-    N, RB = xs[0].shape
+    N, RB = in_refs[0].shape
+    # In/out are aliased (input_output_aliases); the copy is a no-op safety
+    # for the non-aliased interpret path.
+    for i_r, o_r in zip(in_refs, out_refs):
+        o_r[:] = i_r[:]
     if merge_only:
         for j in range(L - 1, -1, -1):
-            xs = _stage(xs, N, RB, None, j, descending)
+            _stage_refs(out_refs, N, RB, None, j, descending)
     else:
         for k in range(1, L + 1):
             for j in range(k - 1, -1, -1):
                 kb = None if k == L else k
                 # the final pass (k == L) is a uniform-direction merge
-                xs = _stage(xs, N, RB, kb, j, descending)
-    for r, x in zip(out_refs, xs):
-        r[:] = x
+                _stage_refs(out_refs, N, RB, kb, j, descending)
 
 
 def _sort_block(
