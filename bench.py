@@ -171,7 +171,7 @@ def bench_sse(
     replicas — the same methodology as the single-core denominator
     (scripts/ref_cpu_bench.sh). ``cluster_every=k`` thins the cluster update
     to every k-th timestep (the measured throughput/autocorrelation optimum
-    at 32^2 is k~3; see scripts/ess32.py sweeps).
+    at 32^2 is k~6 at R=512; see scripts/ess32.py sweeps, MEASUREMENTS_r2.md).
 
     Synchronization: ``jax.block_until_ready`` does NOT synchronize over the
     TPU tunnel in this image (see CLAUDE.md) — every timed round ends with a
@@ -364,7 +364,7 @@ def _ess32_record(timeout_s: float = 1500.0) -> dict | None:
     optimum and can be overridden with ISING_BENCH_ESS_CFG="R,NS,K[,L]"
     (the optional L shrinks the lattice for CPU smoke drives)."""
     cfg = [int(x) for x in os.environ.get(
-        "ISING_BENCH_ESS_CFG", "256,18,3"
+        "ISING_BENCH_ESS_CFG", "512,24,6"
     ).split(",")]
     R, ns, k = cfg[:3]
     L = cfg[3] if len(cfg) > 3 else 32

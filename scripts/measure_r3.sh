@@ -37,21 +37,20 @@ run() { # run <name> <timeout_s> <cmd...> — skips completed steps
   probe || { echo "[measure_r3] tunnel dropped" >&2; exit 1; }
 }
 
-# Rows already decided and recorded in MEASUREMENTS_r2.md (hook/fastsv
-# breakdowns, ess k=1..3 at R=256) are pruned; the queue spends hardware
-# time on the open decisions only. Order: sort-kernel validation first (it
-# gates measure_r4), then the high-k/R ESS ladder, then official bench rows.
-run profile_sortk 3600 python scripts/profile_sortk.py 32 256
-run ess32_k3 2400 python scripts/ess32.py 32 256 18 3
-run ess32_k4 2400 python scripts/ess32.py 32 256 20 4
-run ess32_k6 2400 python scripts/ess32.py 32 512 24 6
-run ess32_k3_r512 2400 python scripts/ess32.py 32 512 18 3
+# Queue order: the diag carry A/B first (it decides the per-timestep floor
+# — the ESS lever at high cluster_every), then bench-lattice cluster
+# breakdowns, then official bench rows. profile_sortk moved LAST: its fully
+# unrolled bitonic network OOM-killed the remote compile helper once
+# (MEASUREMENTS_r2.md); it gets one retry after everything else.
 run ess32_k8_r512 2400 python scripts/ess32.py 32 512 32 8
-run ess32_k3_r1024 3000 python scripts/ess32.py 32 1024 18 3
+run profile_diag_r512 3600 python scripts/profile_diag.py 32 512
+run profile_cluster_r512 3600 python scripts/profile_cluster.py 32 512
 run bench_headline 4800 env ISING_BENCH_WAIT=600 python bench.py
+run ess32_k3_r1024 3000 python scripts/ess32.py 32 1024 18 3
 run tempering_16 2400 python scripts/profile_tempering.py 16 64
 run profile_cluster_r256 3000 python scripts/profile_cluster.py 32 256
 run bench_suite 7200 env ISING_BENCH_WAIT=600 python bench.py --suite --no-sse
+run profile_sortk 3600 python scripts/profile_sortk.py 32 256
 
 echo "[measure_r3] done" >&2
 date > "$OUT/done_at.txt"
