@@ -10,10 +10,14 @@ at VPU/VMEM bandwidth instead of HBM bandwidth.
 Layout: rows on sublanes, replicas on lanes; the grid walks 128-lane column
 blocks, and ``input_output_aliases`` sorts in place (one [N, 128] i32 block
 is N/2 KiB — 4 MB at N=8192 — so up to three operands fit VMEM comfortably).
-Each stage at distance ``d = 2^j`` reshapes the block to ``[G, 2, d, 128]``
-and compare-exchanges the two halves of axis 1 elementwise — no shifts, no
-gathers; the ascending/descending block mask is a broadcasted iota bit.
-Stages are unrolled at trace time (static ``N``), ~91 stages at N=8192.
+The ~91 stages at N=8192 run as a ``fori_loop`` INSIDE the kernel with the
+per-stage ``(j, direction-bit)`` parameters in SMEM: element ``i``'s partner
+at distance ``d = 2^j`` is ``i ^ d``, fetched with two dynamic-shift
+``pltpu.roll``s (forward for the lower half of each pair, backward for the
+upper) and an integer-bit select. A trace-time-unrolled stage network was
+tried first and OOM-killed the Mosaic compile helper (straight-line vreg
+code for 91 stages x 1024 vregs; observed on hardware 2026-08-19) — the
+stage loop keeps the program a few hundred instructions regardless of N.
 
 Semantics: ascending by operand 0; ties NEVER swap, so equal-key payload
 order is whatever the bitonic network leaves (NOT the stable order of
@@ -42,61 +46,68 @@ _MAX_SINGLE = 8192  # one-kernel row limit (VMEM: nops * N * 512B in place)
 _MAX_ROWS = 16384  # split-path limit
 
 
-def _stage_refs(refs, N, RB, k_bits, j, descending):
-    """One compare-exchange stage at distance 2^j inside a 2^k_bits-block
-    bitonic pass (k_bits == None -> uniform direction: the merge stages),
-    applied in place to ``refs`` (operand 0 = key).
+def _stage_params(L, descending, merge_only):
+    """Per-stage ``(j, dir_bit_index)`` int32 arrays for the SMEM prefetch.
 
-    Ref-at-a-time form: the swap mask is computed once from the key, then
-    each operand is loaded, permuted, and stored back before the next is
-    touched. This bounds Mosaic's scoped-VMEM stack to ~one operand's
-    temporaries plus the mask — the value-chained form kept every unrolled
-    stage's copies live at once (~16 x [N, 128] i32 = 64 MB at N=8192,
-    over the 16 MB limit; observed on hardware 2026-08-19)."""
-    d = 1 << j
-    G = N >> (j + 1)
-    kr = refs[0][:].reshape(G, 2, d, RB)
-    ka, kb = kr[:, 0], kr[:, 1]  # [G, d, RB]
-    if k_bits is None:
-        swap = (ka > kb) if not descending else (ka < kb)
+    ``dir_bit_index = kb`` means element ``i`` sorts ascending iff bit ``kb``
+    of ``i`` is 0 (the standard bitonic block-direction rule); uniform-
+    direction stages (the merge passes and the final full-length pass) use
+    bit 31, which is always 0. A global ``descending`` flips the rule."""
+    jv, kv = [], []
+    if merge_only:
+        for j in range(L - 1, -1, -1):
+            jv.append(j)
+            kv.append(31)
     else:
-        # Signed-arithmetic predicate: Mosaic has no select over i1 vectors
-        # (bool-valued jnp.where lowers to an unsupported i8->i1 trunci).
-        # sign = +1 for ascending blocks, -1 for descending; keys are
-        # non-negative (pad INT32_MAX), so ka - kb never overflows.
-        g = jax.lax.broadcasted_iota(jnp.int32, (G, d, RB), 0)
-        bit = (g >> (k_bits - j - 1)) & 1
-        sign = 1 - 2 * bit
-        if descending:
-            sign = -sign
-        swap = sign * (ka - kb) > 0
-    for r in refs:
-        xr = r[:].reshape(G, 2, d, RB)
-        xa, xb = xr[:, 0], xr[:, 1]
-        na = jnp.where(swap, xb, xa)
-        nb = jnp.where(swap, xa, xb)
-        r[:] = jnp.concatenate([na[:, None], nb[:, None]], axis=1).reshape(
-            N, RB
-        )
+        for k in range(1, L + 1):
+            for j in range(k - 1, -1, -1):
+                jv.append(j)
+                kv.append(31 if k == L else k)
+    jv = jnp.asarray(jv, jnp.int32)
+    kv = jnp.asarray(kv, jnp.int32)
+    return jv, kv, jnp.int32(1 if descending else 0)
 
 
-def _kernel(nops, L, descending, merge_only, *refs):
-    in_refs = refs[:nops]
-    out_refs = refs[nops:]
+def _kernel(nops, n_stages, *refs):
+    jv_ref, kv_ref, desc_ref = refs[:3]
+    in_refs = refs[3 : 3 + nops]
+    out_refs = refs[3 + nops :]
     N, RB = in_refs[0].shape
     # In/out are aliased (input_output_aliases); the copy is a no-op safety
     # for the non-aliased interpret path.
     for i_r, o_r in zip(in_refs, out_refs):
         o_r[:] = i_r[:]
-    if merge_only:
-        for j in range(L - 1, -1, -1):
-            _stage_refs(out_refs, N, RB, None, j, descending)
-    else:
-        for k in range(1, L + 1):
-            for j in range(k - 1, -1, -1):
-                kb = None if k == L else k
-                # the final pass (k == L) is a uniform-direction merge
-                _stage_refs(out_refs, N, RB, kb, j, descending)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, RB), 0)
+    desc = desc_ref[0]
+
+    def stage(s, _):
+        j = jv_ref[s]
+        d = jnp.int32(1) << j
+        # All predicates kept in i32 bits (Mosaic has no i1-vector select):
+        # lo = bit j of i (0 -> partner is i+d, 1 -> partner is i-d); the
+        # block sorts ascending iff bit kv[s] of i == desc flag. Ties never
+        # swap (strict inequality), matching lax.sort for unique keys.
+        lo = (iota >> j) & 1
+        a = ((iota >> kv_ref[s]) & 1) ^ desc
+        sgn = 1 - 2 * (lo ^ a)
+        key = out_refs[0][:]
+        # roll semantics: roll(x, s)[i] = x[(i - s) % N]; partner i ^ d is
+        # i + d when bit j is clear (roll by N - d), i - d when set (roll
+        # by d). Both rolls never mispair: i ^ d stays inside [0, N).
+        pkey = jnp.where(lo == 0, pltpu.roll(key, N - d, 0),
+                         pltpu.roll(key, d, 0))
+        # keys are non-negative (pad INT32_MAX), so key - pkey never
+        # overflows i32.
+        swap = sgn * (key - pkey) > 0
+        out_refs[0][:] = jnp.where(swap, pkey, key)
+        for r in out_refs[1:]:
+            x = r[:]
+            px = jnp.where(lo == 0, pltpu.roll(x, N - d, 0),
+                           pltpu.roll(x, d, 0))
+            r[:] = jnp.where(swap, px, x)
+        return 0
+
+    jax.lax.fori_loop(0, n_stages, stage, 0)
 
 
 def _sort_block(
@@ -108,23 +119,27 @@ def _sort_block(
     L = N.bit_length() - 1
     assert 1 << L == N and N >= 256
     nops = len(operands)
+    jv, kv, desc = _stage_params(L, descending, merge_only)
+    smem = lambda n: pl.BlockSpec(  # noqa: E731
+        (n,), lambda r: (0,), memory_space=pltpu.SMEM
+    )
     specs = [
         pl.BlockSpec((N, _LANES), lambda r: (0, r), memory_space=pltpu.VMEM)
         for _ in range(nops)
     ]
     return pl.pallas_call(
-        functools.partial(_kernel, nops, L, descending, merge_only),
+        functools.partial(_kernel, nops, jv.shape[0]),
         grid=(Rp // _LANES,),
-        in_specs=specs,
+        in_specs=[smem(jv.shape[0]), smem(kv.shape[0]), smem(1)] + specs,
         out_specs=specs if nops > 1 else specs[0],
         out_shape=[
             jax.ShapeDtypeStruct((N, Rp), jnp.int32) for _ in range(nops)
         ]
         if nops > 1
         else jax.ShapeDtypeStruct((N, Rp), jnp.int32),
-        input_output_aliases={i: i for i in range(nops)},
+        input_output_aliases={i + 3: i for i in range(nops)},
         interpret=interpret,
-    )(*operands)
+    )(jv, kv, desc.reshape(1), *operands)
 
 
 def _as_list(x):
