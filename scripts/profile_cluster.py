@@ -5,10 +5,16 @@ the sweep is XLA lax.sort at the exact shapes, vs gathers, scans and
 einsums. Marginal methodology per CLAUDE.md. Usage:
 python scripts/profile_cluster.py [L] [R]
 """
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("ISING_FORCE_CPU") == "1":
+    # CPU smoke drives: JAX_PLATFORMS is ignored in this image (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
@@ -138,6 +144,31 @@ marginal("  one scatter_min_rows", lambda c, i: c + jnp.sum(
 marginal("  one take kernel gather [CE]", lambda c, i: c + jnp.sum(
     _cluster._take0_fast(P0, jnp.maximum(uc ^ (i >> 30), 0))
 ))
+
+# --- root-stats variants at production shapes ---------------------------------
+logr0 = jax.random.normal(jax.random.key(1), (M, R)) * 0.1
+froz0 = jax.random.bernoulli(jax.random.key(2), 0.05, (M, R))
+idx0 = jax.random.randint(jax.random.key(3), (M, R), 0, lc)
+rows_m = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (M, R))
+
+
+def _rs(fn):
+    return lambda c, i: c + jnp.sum(
+        fn(logr0, froz0, jnp.minimum(idx0 ^ (i >> 30), lc - 1), lc)[0]
+    )
+
+
+marginal("root-stats mm (einsum)", _rs(_cluster._mm_root_stats))
+marginal("root-stats sort", _rs(_cluster._sort_root_stats))
+marginal(
+    "root-stats scatter",
+    _rs(
+        lambda lg, fz, ix, SL: (
+            jnp.zeros((SL, R), jnp.float32).at[ix, rows_m].add(lg),
+            jnp.zeros((SL, R), bool).at[ix, rows_m].max(fz),
+        )
+    ),
+)
 
 # --- decisions + flips (cluster_update minus labels) -------------------------
 marginal("cluster_update total", lambda c, i: c + jnp.sum(
