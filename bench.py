@@ -69,10 +69,21 @@ def _wait_for_tpu(max_wait_s: float) -> bool:
         time.sleep(30)
 
 
-# Default wait raised 600 -> 3600 s: the round's official record must not be
-# a CPU fallback just because the flaky tunnel was down at capture time
-# (round-1 lost its TPU record that way; see VERDICT.md Weak #1).
-_TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "3600")))
+# Total wall-clock budget for everything that gates the JSON record. Round 2
+# lost its record to rc=124: a 3600 s tunnel wait exceeded the driver's
+# capture window (VERDICT.md Weak #1), which is strictly worse than round 1's
+# labeled CPU fallback. The budget is sized so that
+#   wait (<=600) + classical headline (~3 min) + bounded ess32 (<=900)
+# always fits comfortably inside the window round 1 demonstrably had.
+_T_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("ISING_BENCH_BUDGET", "1500"))
+
+
+def _remaining_budget() -> float:
+    return _BUDGET_S - (time.monotonic() - _T_START)
+
+
+_TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
 
 import jax  # noqa: E402
 
@@ -354,7 +365,7 @@ def bench_suite(json_path: str | None = None) -> None:
 BASELINE_ESS32_PER_SEC = 500.0  # single-core denominator, BASELINE.md
 
 
-def _ess32_record(timeout_s: float = 1500.0) -> dict | None:
+def _ess32_record(timeout_s: float) -> dict | None:
     """North-star #2 (SSE 32^2 energy-ESS/sec) measured in a subprocess.
 
     The tunnel's TPU worker intermittently crashes on large SSE programs
@@ -439,19 +450,30 @@ def main() -> None:
         "unit": "attempts/sec",
         "vs_baseline": value / BASELINE_FLIPS_PER_SEC,
     }
-    # North star #2 rides the same record (extra keys on the one JSON line):
-    # the 32^2 SSE ESS/sec vs the 500 ESS/s single-core denominator. Measured
-    # in a subprocess BEFORE the line is printed — the classical value above
-    # is already host-side, so a tunnel-worker crash during the SSE program
-    # cannot lose the headline.
-    if dev.platform == "tpu" and not args.smoke and not args.no_sse:
-        ess = _ess32_record()
-        if ess:
-            record.update(ess)
+    # Flush a headline-only record IMMEDIATELY: even if everything after this
+    # point hangs or is killed by the driver's capture timeout, the round has
+    # a parsed record (round 2 had none — VERDICT.md Weak #1).
     print(json.dumps(record))
     sys.stdout.flush()
+    # North star #2 rides the same record (extra keys on one JSON line): the
+    # 32^2 SSE ESS/sec vs the 500 ESS/s single-core denominator. Measured in
+    # a subprocess (tunnel-worker crashes on big SSE programs must not kill
+    # this process) and bounded by the remaining wall-clock budget; if it
+    # lands, the ENRICHED record is printed as the final JSON line
+    # (duplicate-tolerant: both lines are valid records, the later one is a
+    # superset of the earlier).
+    if dev.platform == "tpu" and not args.smoke and not args.no_sse:
+        ess_budget = min(900.0, _remaining_budget() - 60.0)
+        if ess_budget > 180.0:
+            ess = _ess32_record(timeout_s=ess_budget)
+            if ess:
+                record.update(ess)
+                print(json.dumps(record))
+                sys.stdout.flush()
+        else:
+            print("bench: skipping ess32 (budget exhausted)", file=sys.stderr)
 
-    if not args.no_sse:
+    if not args.no_sse and (_remaining_budget() > 180.0 or args.smoke):
         try:
             if args.smoke:
                 s = bench_sse(L=4, replicas=32, nsweeps=8, reps=2)
