@@ -102,18 +102,6 @@ for nc in (1, 2, 4, 8):
             jnp.minimum(u + (i >> 30), S - 1), v, S, n_compress=nc)),
     )
 
-# Gather-only FastSV fixpoint (static adjacency; no per-round sorts).
-marginal(
-    "fastsv fixpoint n_compress=2",
-    lambda c, i: c + jnp.sum(_cluster._gather_min_labels(
-        jnp.minimum(u + (i >> 30), S - 1), v, S, n_compress=2)),
-)
-marginal(
-    "fastsv adjacency build alone",
-    lambda c, i: c + jnp.sum(_cluster._build_adjacency(
-        jnp.minimum(u + (i >> 30), S - 1), v, S)[2]),
-)
-
 marginal(
     "segment_graph",
     lambda c, i: c + jnp.sum(_cluster.segment_graph(

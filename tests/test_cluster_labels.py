@@ -358,83 +358,3 @@ def test_labels_sort_scatter_bit_identical(monkeypatch):
         np.asarray(ops_ref.outputs), np.asarray(ops_s.outputs)
     )
     assert np.array_equal(np.asarray(st_ref), np.asarray(st_s))
-
-
-def test_gather_min_labels_component_minima():
-    """The FastSV fixpoint must label every component by its minimum segment
-    id and induce the same partition as the hook fixpoint — checked against
-    a brute-force union-find on random multigraphs with inert (dump-dump)
-    rows."""
-    rng = np.random.default_rng(5)
-    for trial in range(4):
-        S = int(rng.integers(8, 120))
-        E = int(rng.integers(4, 200))
-        R = 5
-        u = rng.integers(0, S, size=(E, R)).astype(np.int32)
-        v = rng.integers(0, S, size=(E, R)).astype(np.int32)
-        inert = rng.random((E, R)) < 0.3
-        u[inert] = S - 1
-        v[inert] = S - 1
-        hook = np.asarray(
-            _cluster._hook_compress_labels(jnp.asarray(u), jnp.asarray(v), S)
-        )
-        fast = np.asarray(
-            _cluster._gather_min_labels(jnp.asarray(u), jnp.asarray(v), S)
-        )
-        for r in range(R):
-            parent = list(range(S))
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for e in range(E):
-                a, b = find(int(u[e, r])), find(int(v[e, r]))
-                if a != b:
-                    parent[max(a, b)] = min(a, b)
-            roots = np.array([find(s) for s in range(S)])
-            comp_min = {}
-            for s in range(S):
-                comp_min.setdefault(roots[s], s)
-            want = np.array([comp_min[roots[s]] for s in range(S)])
-            assert np.array_equal(fast[:, r], want)
-            _, hinv = np.unique(hook[:, r], return_inverse=True)
-            _, winv = np.unique(want, return_inverse=True)
-            assert np.array_equal(hinv, winv)
-
-
-def test_cluster_update_fastsv_valid_chain(monkeypatch):
-    """cluster_update under the FastSV fixpoint must preserve the worldline
-    invariants and produce the same cluster partition as the hook path (the
-    flip RNG stream differs — labels are component minima, not root ids)."""
-    import jax
-
-    from isingmontecarlo_tpu.sse import opstring as _ops
-
-    edges = lattice.frustrated_square(4, 3)
-    g = QmcIsingGraph(
-        edges, transverse=1.1, longitudinal=0.2, replicas=4, seed=31
-    )
-    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.0), g.model, 8)
-    g._maybe_grow()
-    ops, state = g.sse.ops, g.sse.state
-
-    monkeypatch.setattr(_cluster, "_FORCE_LABEL_ALGO", "fastsv")
-    lab_f = np.asarray(_cluster.cluster_labels(ops, g.model))
-    _cluster.cluster_update.clear_cache()
-    ops_f, st_f = _cluster.cluster_update(
-        ops, state, jax.random.key(9), g.model
-    )
-    monkeypatch.setattr(_cluster, "_FORCE_LABEL_ALGO", "hook")
-    lab_h = np.asarray(_cluster.cluster_labels(ops, g.model))
-    _cluster.cluster_update.clear_cache()
-
-    # Same partition per lane.
-    for r in range(lab_f.shape[1]):
-        _, fi = np.unique(lab_f[:, r], return_inverse=True)
-        _, hi = np.unique(lab_h[:, r], return_inverse=True)
-        assert np.array_equal(fi, hi)
-    # The flipped string still verifies (worldline continuity oracle).
-    assert bool(jnp.all(_ops.verify(ops_f, st_f, g.model)))
