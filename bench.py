@@ -268,6 +268,14 @@ def bench_suite(json_path: str | None = None) -> None:
             g.sse, ns, _, _ = multi_sweep(g.sse, b, g.model, warm, **kw)
             jax.block_until_ready(ns)
             g._maybe_grow()
+        # Re-snapshot per-sweep args after warmup: _maybe_grow has now set
+        # the RVB active-slot compaction cutoff (and final cluster caps), so
+        # the timed region runs what timesteps_measure would actually run.
+        kw = dict(
+            hb=g._hb_tables if heatbath else None,
+            heatbath=heatbath,
+            **g._rvb_args(),
+        )
 
         def timed(n):
             t0 = time.perf_counter()

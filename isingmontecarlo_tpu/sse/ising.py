@@ -89,7 +89,10 @@ def resample_free_spins(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heatbath", "n_rvb", "cluster_caps", "do_cluster")
+    jax.jit,
+    static_argnames=(
+        "heatbath", "n_rvb", "cluster_caps", "do_cluster", "rvb_compact"
+    ),
 )
 def sweep(
     sse: SseState,
@@ -102,6 +105,7 @@ def sweep(
     bond_scale: jax.Array | None = None,
     cluster_caps: tuple[int, int] | None = None,
     do_cluster: bool = True,
+    rvb_compact: int | None = None,
 ) -> tuple[SseState, jax.Array]:
     """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
 
@@ -121,7 +125,8 @@ def sweep(
         from isingmontecarlo_tpu.sse import rvb as _rvb
 
         ops, state, succ = _rvb.rvb_sweep(
-            ops, state, k_rvb, model, rvb_tables, n_rvb
+            ops, state, k_rvb, model, rvb_tables, n_rvb,
+            compact_cutoff=rvb_compact,
         )
     else:
         succ = jnp.zeros((state.shape[0],), jnp.int32)
@@ -144,7 +149,7 @@ def sweep(
     jax.jit,
     static_argnames=(
         "nsweeps", "heatbath", "collect_states", "n_rvb", "cluster_caps",
-        "cluster_every",
+        "cluster_every", "rvb_compact",
     ),
 )
 def multi_sweep(
@@ -160,6 +165,7 @@ def multi_sweep(
     bond_scale: jax.Array | None = None,
     cluster_caps: tuple[int, int] | None = None,
     cluster_every: int = 1,
+    rvb_compact: int | None = None,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
@@ -172,6 +178,7 @@ def multi_sweep(
     kw = dict(
         hb=hb, heatbath=heatbath, rvb_tables=rvb_tables, n_rvb=n_rvb,
         bond_scale=bond_scale, cluster_caps=cluster_caps,
+        rvb_compact=rvb_compact,
     )
 
     def body(carry, do_cluster):
@@ -257,6 +264,9 @@ class QmcIsingGraph:
         self._run_rvb = False
         self._rvb_tables = None
         self._rvb_updates: int | None = None
+        # Host-tracked active-slot compaction cutoff for RVB sweeps (None =
+        # sweep in full [M] space); refreshed with hysteresis in _maybe_grow.
+        self._rvb_compact: int | None = None
         self.total_rvb_successes = 0
         self.rvb_clusters_counted = 0
         # Cold start: the cutoff has not yet tracked n + n/2 — stepping
@@ -683,6 +693,21 @@ class QmcIsingGraph:
         if want > self.cutoff:
             new_m = ((max(want, self.cutoff) + 15) // 16) * 16
             self.sse = self.sse._replace(ops=_ops.grow(self.sse.ops, new_m))
+        if self._run_rvb:
+            # Active-slot compaction cutoff for RVB sweeps: covers the
+            # current max per-replica op count with 25% slack (the diagonal
+            # update can grow counts within a fused chunk before the next
+            # host refresh; lanes that still overflow skip RVB for that
+            # sweep — see rvb.rvb_sweep). Hysteresis: grow on demand,
+            # shrink only past 2x, to bound recompiles; disabled when it
+            # would not cut at least ~1/8 of the slot axis.
+            want_c = 16 * ((n_max + (n_max >> 2) + 2 + 15) // 16)
+            cur = self._rvb_compact
+            if cur is None or want_c > cur or want_c * 2 < cur:
+                cur = want_c
+            self._rvb_compact = (
+                cur if cur <= self.cutoff - (self.cutoff >> 3) else None
+            )
         nc, nm = _cap_counts(self.sse.ops, self.model)
         N = self.nvars
         want_l = max(256, 16 * ((int((int(nc) + N + 2) * 1.3) + 15) // 16))
@@ -698,6 +723,7 @@ class QmcIsingGraph:
             rvb_tables=self._rvb_tables if self._run_rvb else None,
             n_rvb=(self._rvb_updates or 0) if self._run_rvb else 0,
             cluster_caps=self._cluster_caps,
+            rvb_compact=self._rvb_compact if self._run_rvb else None,
         )
 
     def _count_rvb(self, succ, nsweeps: int) -> None:

@@ -1384,7 +1384,73 @@ def _rvb_update_once_legacy(ops, state, key, model, tables):
 _BUILD_BATCH_MAX_ELEMS = 1 << 25
 
 
-@functools.partial(jax.jit, static_argnames=("n_updates",))
+def compact_ops(ops: OpString, mc: int):
+    """Pack occupied slots into a time-ordered dense prefix of length ``mc``.
+
+    RVB rewrites never insert or remove ops (rotations move bonds, cluster
+    bounds toggle constant ops off-diagonal, interior ops flip symmetrically
+    — ``mutate_graph``, ``rvb.rs:294-615``), so the occupied-slot set is
+    invariant across a whole sweep: compact once, sweep in compact space,
+    scatter back once. This is the tensor-land analog of the reference's
+    windowed subsection cursors (``diagonal_subsection.rs:27-156``) and
+    heap-merged sparse sweep (``rvb.rs:649-946``): the per-update cost
+    scales with the op count ``n`` instead of the padded cutoff ``M``.
+
+    Compaction preserves RVB semantics exactly: identity slots are no-ops
+    for every carry, and all imaginary-time structure the update reads —
+    cyclic *order* of ops, segment interval overlap (:func:`_cyc_overlap` on
+    bounding-op positions), the p=0 wrap — is invariant under the
+    order-preserving slot remap.
+
+    One multi-operand sort: key = slot id for occupied slots, slot id + M
+    for identities, so ascending order is (occupied in time order, then
+    identities in time order); payloads ride the sort (TPU multi-operand
+    sort payloads are nearly free — CLAUDE.md sort note). Returns
+    ``(ops_c, tail, sk)``: the compact string, the sorted payload rows
+    beyond ``mc`` (needed to rebuild the full string), and the sorted key
+    array ``i32[M, R]`` (``sk % M`` = original slot of each sorted row).
+
+    Replicas with more than ``mc`` occupied slots get a truncated (invalid)
+    prefix — :func:`rvb_sweep` detects and discards those lanes."""
+    M, R = ops.bond.shape
+    K = ops.max_legs
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], (M, R))
+    pack_key = jnp.where(ops.bond >= 0, iota, iota + M)
+    operands = (pack_key, ops.bond) + tuple(ops.inputs) + tuple(ops.outputs)
+    s = jax.lax.sort(operands, dimension=0, num_keys=1)
+    ops_c = OpString(
+        bond=s[1][:mc],
+        inputs=jnp.stack([x[:mc] for x in s[2:2 + K]]),
+        outputs=jnp.stack([x[:mc] for x in s[2 + K:]]),
+    )
+    tail = tuple(x[mc:] for x in s[1:])
+    return ops_c, tail, s[0]
+
+
+def uncompact_ops(ops_c: OpString, tail, sk) -> OpString:
+    """Inverse of :func:`compact_ops` after in-place rewrites of the prefix:
+    concatenate the (rewritten) prefix with the untouched tail rows and sort
+    by original slot id — the payload back-sort that replaces a per-lane
+    scatter (CLAUDE.md sort note)."""
+    M, R = sk.shape
+    K = ops_c.max_legs
+    orig = sk - jnp.where(sk >= M, jnp.int32(M), 0)
+    full = (
+        jnp.concatenate([ops_c.bond, tail[0]], axis=0),
+        *(jnp.concatenate([ops_c.inputs[k], tail[1 + k]], axis=0)
+          for k in range(K)),
+        *(jnp.concatenate([ops_c.outputs[k], tail[1 + K + k]], axis=0)
+          for k in range(K)),
+    )
+    out = jax.lax.sort((orig,) + full, dimension=0, num_keys=1)
+    return OpString(
+        bond=out[1],
+        inputs=jnp.stack(out[2:2 + K]),
+        outputs=jnp.stack(out[2 + K:]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_updates", "compact_cutoff"))
 def rvb_sweep(
     ops: OpString,
     state: jax.Array,
@@ -1392,10 +1458,53 @@ def rvb_sweep(
     model: BondModel,
     tables: RvbTables,
     n_updates: int,
+    compact_cutoff: int | None = None,
 ) -> tuple[OpString, jax.Array, jax.Array]:
     """``n_updates`` sequential RVB updates (the reference runs
     ``(nvars+1)/2`` per timestep, ``qmc_ising.rs:705-710``). Returns
     ``(ops, state, successes i32[R])``.
+
+    ``compact_cutoff`` (static) runs the whole sweep in active-slot-compacted
+    space (:func:`compact_ops`): identical update distribution, cost scaling
+    with the op count instead of the padded cutoff. Replicas whose op count
+    exceeds the compact cutoff keep their originals for this sweep (succ 0)
+    — unbiased, because RVB updates never change the op count, so the
+    skip predicate is invariant along every transition of the skipped
+    kernel and detailed balance holds lane by lane. (Such lanes slightly
+    undercount ``rvb_success_rate``'s denominator; the host refreshes the
+    cutoff each chunk, keeping overflow rare.)"""
+    M, R = ops.bond.shape
+    if compact_cutoff is None or compact_cutoff >= M:
+        return _rvb_sweep_impl(ops, state, key, model, tables, n_updates)
+    mc = compact_cutoff
+    fits = jnp.sum(ops.bond >= 0, axis=0) <= mc  # [R]
+    ops_c, tail, sk = compact_ops(ops, mc)
+    ops_c, new_state, succ = _rvb_sweep_impl(
+        ops_c, state, key, model, tables, n_updates
+    )
+    unc = uncompact_ops(ops_c, tail, sk)
+    fr = fits[None, :]
+    new_ops = OpString(
+        bond=jnp.where(fr, unc.bond, ops.bond),
+        inputs=jnp.where(fr[None], unc.inputs, ops.inputs),
+        outputs=jnp.where(fr[None], unc.outputs, ops.outputs),
+    )
+    return (
+        new_ops,
+        jnp.where(fits[:, None], new_state, state),
+        jnp.where(fits, succ, 0),
+    )
+
+
+def _rvb_sweep_impl(
+    ops: OpString,
+    state: jax.Array,
+    key: jax.Array,
+    model: BondModel,
+    tables: RvbTables,
+    n_updates: int,
+) -> tuple[OpString, jax.Array, jax.Array]:
+    """The sweep body (see :func:`rvb_sweep`).
 
     The constant-op inventory is computed once for the whole sweep (see
     :func:`rvb_update_once`: RVB rewrites never move constant ops, so the

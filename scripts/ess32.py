@@ -8,7 +8,11 @@ equilibrate, time fused multi_sweep rounds with a device readback, and
 compute ESS from the per-sweep op-count series (integrated autocorrelation
 time, summed over independent replicas).
 
-Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps] [cluster_every]
+Usage: python scripts/ess32.py [L] [R,R,...] [nsweeps] [cluster_every] [reps]
+
+``reps`` timed rounds of ``nsweeps`` each feed one concatenated series per
+replica; aim reps*nsweeps >= 50*tau (tau ~ 2-2.5 at 32^2) so the k-ladder
+optimum is not a statistical artifact (round-2 verdict Weak #7).
 """
 import os
 import sys
@@ -41,6 +45,7 @@ R_LIST = (
 )
 NS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 CK = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 
 print(f"device: {jax.devices()[0]}", file=sys.stderr)
 edges = lattice.bench_two_d_periodic(L)
@@ -66,7 +71,7 @@ for R in R_LIST:
         g._maybe_grow()
     best = float("inf")
     ns_all = []
-    for _ in range(3):
+    for _ in range(REPS):
         t0 = time.perf_counter()
         g.sse, ns, _, _ = multi_sweep(
             g.sse, beta, g.model, NS,
