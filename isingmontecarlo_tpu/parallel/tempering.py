@@ -92,6 +92,23 @@ def _ratio(a: float, b: float, what: str) -> float:
     return b / a
 
 
+def _ratio_signed(a: float, b: float, what: str) -> tuple[float, int]:
+    """(positive magnitude ratio, substate-XOR mask) such that ``q``'s
+    weight table for this bond equals ``scale * base_table[: , s ^ mask]``:
+    a sign flip on an Ising two-site or longitudinal bond permutes the
+    table columns (``|J| ∓ J`` swaps aligned/anti — flip one leg's bit;
+    ``qmc_ising.rs:863-888`` weight forms), so ``mask=1`` represents it
+    exactly. Zero/nonzero mismatches stay unrepresentable."""
+    if abs(a) < 1e-12 and abs(b) < 1e-12:
+        return 1.0, 0
+    if abs(a) < 1e-12 or abs(b) < 1e-12:
+        raise ValueError(
+            f"no weight correspondence for {what}: {a} vs {b} — zero and "
+            "nonzero couplings have different weight-table supports"
+        )
+    return abs(b / a), 0 if (a > 0) == (b > 0) else 1
+
+
 def _relative_bond_scales(base, q) -> np.ndarray:
     """Per-bond weight multipliers of ``q`` relative to ``base``:
     ``f32[NB]`` in the base graph's bond layout (``qmc_ising.rs:186-205``).
@@ -104,6 +121,25 @@ def _relative_bond_scales(base, q) -> np.ndarray:
     accepts arbitrary same-sign coupling disorder (e.g. different disorder
     realizations of |J|); it raises ``ValueError`` when no positive factor
     exists (sign flip, zero/nonzero mismatch, different edge sets)."""
+    scale, xor = _relative_bond_params(base, q)
+    if xor.any():
+        flipped = int(xor.sum())
+        raise ValueError(
+            f"no positive weight ratio: {flipped} bond(s) flip coupling sign "
+            "— a pure label swap cannot represent a sign flip (weight-table "
+            "zeros move); the container's signed path (bond_xor masks + "
+            "op-resolved swap acceptance) handles it"
+        )
+    return scale
+
+
+def _relative_bond_params(base, q) -> tuple[np.ndarray, np.ndarray]:
+    """Per-bond (positive multiplier, substate-XOR mask) of ``q`` relative
+    to ``base`` — the general label of the signed tempering path:
+    ``w_q(b, s) = scale[b] * w_base(b, s ^ xor[b])`` exactly (see
+    :func:`_ratio_signed`). Transverse sign flips stay errors: the
+    transverse table is substate-constant (``qmc_ising.rs:869-877``), so
+    no permutation represents them."""
     mb = _canonical_edge_map(base.edges)
     mq = _canonical_edge_map(q.edges)
     if set(mb) != set(mq):
@@ -112,19 +148,20 @@ def _relative_bond_scales(base, q) -> np.ndarray:
     n = base.nvars
     nb = base.model.nbonds
     scale = np.ones(nb, np.float32)
+    xor = np.zeros(nb, np.int32)
     for i, ((a, b), jb) in enumerate(base.edges):
         k = (min(a, b), max(a, b))
-        scale[i] = _ratio(jb, mq[k], f"edge {k} coupling")
+        scale[i], xor[i] = _ratio_signed(jb, mq[k], f"edge {k} coupling")
     scale[ne : ne + n] = _ratio(
         base.transverse, q.transverse, "transverse field"
     )
     if nb > ne + n:
-        scale[ne + n :] = _ratio(
+        scale[ne + n :], xor[ne + n :] = _ratio_signed(
             base.longitudinal, q.longitudinal, "longitudinal field"
         )
     elif abs(base.longitudinal - q.longitudinal) > 1e-12:
         raise ValueError("longitudinal fields differ but base has no h bonds")
-    return scale
+    return scale, xor
 
 
 def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
@@ -143,6 +180,10 @@ def tempering_step(
     parity: jax.Array,  # 0: pairs (0,1),(2,3)...; 1: pairs (1,2),(3,4)...
     n_class: jax.Array | None = None,  # i32[R, NB] per-bond op counts
     log_c: jax.Array | None = None,  # f32[R, NB] log bond multipliers
+    ops=None,  # OpString — signed path only
+    model=None,  # BondModel — signed path only
+    scales: jax.Array | None = None,  # f32[R, NB] — signed path only
+    xors: jax.Array | None = None,  # i32[R, NB] — signed path only
 ) -> tuple[jax.Array, jax.Array]:
     """One neighbor-swap sweep. Returns ``(perm i32[R], n_swaps)`` where
     ``perm[r]`` is the replica whose parameter labels replica ``r`` takes
@@ -151,7 +192,15 @@ def tempering_step(
     so alternating sweeps compose inside a ``lax.scan``
     (:func:`tempering_sweep_chunk`). ``n_class``/``log_c`` work for any
     per-replica count/log-multiplier table sharing a trailing axis — the
-    container passes per-*bond* tables (``tempering_traits.rs:117-155``)."""
+    container passes per-*bond* tables (``tempering_traits.rs:117-155``).
+
+    Signed ladders (``xors`` given) use the op-resolved acceptance instead:
+    one fused ``[M, R]`` pass (:func:`opstring.log_weight_delta`) evaluates
+    every op's weight under its own and its candidate partner's label —
+    the batched analog of the reference's ``OpWeights`` op walk
+    (``tempering_traits.rs:163-196``); pairs whose strings have zero weight
+    under the exchanged labels are rejected. Pass either ``n_class`` or
+    ``xors``, not both: the delta already includes the scale term."""
     R = betas.shape[0]
     order = jnp.argsort(betas)  # ascending beta, rank -> replica
     b_sorted = betas[order]
@@ -174,8 +223,26 @@ def tempering_step(
         logp = logp + jnp.sum(
             (nc_next - nc_sorted) * (lc_sorted - lc_next), axis=1
         )
+    blocked_pair = jnp.zeros((R,), bool)
+    if xors is not None:
+        # Candidate pairing is fixed by rank parity alone (acceptance comes
+        # after), so every replica knows its prospective partner's label.
+        is_prev = jnp.roll(is_start, 1) & (rank > 0)
+        cand_rank = jnp.where(
+            is_start, rank + 1, jnp.where(is_prev, rank - 1, rank)
+        )
+        cpart = jnp.zeros((R,), jnp.int32).at[order].set(order[cand_rank])
+        delta, blocked = _ops.log_weight_delta(
+            ops, model, scales, xors, scales[cpart], xors[cpart]
+        )
+        d_sorted = delta[order]
+        blk_sorted = blocked[order]
+        logp = logp + d_sorted + jnp.roll(d_sorted, -1)
+        blocked_pair = blk_sorted | jnp.roll(blk_sorted, -1)
     u = jax.random.uniform(key, (R,))
-    accept_start = is_start & (jnp.log(jnp.maximum(u, 1e-30)) < logp)
+    accept_start = (
+        is_start & ~blocked_pair & (jnp.log(jnp.maximum(u, 1e-30)) < logp)
+    )
     accept_from_prev = jnp.roll(accept_start, 1) & (rank > 0)
 
     partner_rank = jnp.where(
@@ -260,6 +327,7 @@ def tempering_sweep_chunk(
     hetero: bool = False,
     collect_states: bool = False,
     cluster_caps: tuple[int, int] | None = None,
+    xors: jax.Array | None = None,  # i32[R, NB] sign-pattern labels
 ):
     """``nsweeps`` tempering steps under ONE jit: each scan iteration runs a
     full QMC sweep at every replica's own (beta, scales) label, then — on
@@ -271,33 +339,53 @@ def tempering_sweep_chunk(
     (``tempering_container.rs:411-478``) the way its rayon threads never
     could: no host round trip between a sweep and its swap. Swap keys derive
     from the sweep key chain. Returns
-    ``(sse, betas, scales, hb, parity, nswaps, ns[T, R], states, betas_t)``
-    where ``states``/``betas_t`` are per-sweep samples (None unless
-    ``collect_states``).
+    ``(sse, betas, scales, xors, hb, parity, nswaps, ns[T, R], states,
+    betas_t)`` where ``states``/``betas_t`` are per-sweep samples (None
+    unless ``collect_states``).
+
+    Signed ladders pass ``xors`` (per-replica sign-pattern labels, see
+    ``diagonal._xor_si``): sweeps then apply the masks per lane, swaps use
+    the op-resolved acceptance (:func:`tempering_step` signed path), and
+    the masks ride the label permutation — mixed-sign Hamiltonians temper
+    inside ONE container+jit, where the reference drops to its pointer-swap
+    op walk (``tempering_traits.rs:163-196``).
     """
     R = betas.shape[0]
     ident = jnp.arange(R, dtype=jnp.int32)
 
     def body(carry, do_swap_t):
-        sse, betas, scales_c, hb_c, parity, nswaps = carry
+        sse, betas, scales_c, xors_c, hb_c, parity, nswaps = carry
         bond_scale = scales_c if hetero else None
         new, _succ = sweep(
             sse, betas, model, hb=hb_c, heatbath=heatbath,
             bond_scale=bond_scale, cluster_caps=cluster_caps,
+            bond_xor=xors_c,
         )
         k_next, k_swap = jax.random.split(new.key)
         new = new._replace(key=k_next)
         n = _ops.op_count(new.ops)
-        if hetero:
-            n_bond = _ops.bond_counts(new.ops, model.nbonds)
-            log_c = jnp.log(jnp.maximum(scales_c, 1e-30))
-        else:
+        if xors_c is not None:
+            # Signed ladder: op-resolved acceptance (scale term included).
             n_bond = log_c = None
-        perm, nsw = tempering_step(n, betas, k_swap, parity, n_bond, log_c)
+            perm, nsw = tempering_step(
+                n, betas, k_swap, parity,
+                ops=new.ops, model=model, scales=scales_c, xors=xors_c,
+            )
+        else:
+            if hetero:
+                n_bond = _ops.bond_counts(new.ops, model.nbonds)
+                log_c = jnp.log(jnp.maximum(scales_c, 1e-30))
+            else:
+                n_bond = log_c = None
+            perm, nsw = tempering_step(
+                n, betas, k_swap, parity, n_bond, log_c
+            )
         perm = jnp.where(do_swap_t, perm, ident)
         betas = betas[perm]
         if hetero:
             scales_c = scales_c[perm]
+        if xors_c is not None:
+            xors_c = xors_c[perm]
         if heatbath and hb_c is not None and hb_c.cum_max_w.ndim == 2:
             hb_c = type(hb_c)(
                 cum_max_w=hb_c.cum_max_w[perm], total=hb_c.total[perm]
@@ -306,14 +394,15 @@ def tempering_sweep_chunk(
         nswaps = nswaps + jnp.where(do_swap_t, nsw, 0)
         out = (n, new.state if collect_states else None,
                betas if collect_states else None)
-        return (new, betas, scales_c, hb_c, parity, nswaps), out
+        return (new, betas, scales_c, xors_c, hb_c, parity, nswaps), out
 
-    carry0 = (sse, betas, scales, hb, jnp.asarray(parity, jnp.int32),
+    carry0 = (sse, betas, scales, xors, hb, jnp.asarray(parity, jnp.int32),
               jnp.int32(0))
-    (sse, betas, scales, hb, parity, nswaps), (ns, states, betas_t) = (
+    (sse, betas, scales, xors, hb, parity, nswaps), (ns, states, betas_t) = (
         jax.lax.scan(body, carry0, do_swap, length=nsweeps)
     )
-    return sse, betas, scales, hb, parity, nswaps, ns, states, betas_t
+    return (sse, betas, scales, xors, hb, parity, nswaps, ns, states,
+            betas_t)
 
 
 class TemperingContainer:
@@ -372,6 +461,7 @@ class TemperingContainer:
         # Per-bond multipliers [R, NB] (class scales expanded; arbitrary
         # per-bond disorder enters via add_qmc_stepper).
         self.scales = jnp.asarray(per_class[:, cls])
+        self.xors = None  # i32[R, NB] sign-pattern labels (signed ladders)
         self._parity = 0
         self.total_swaps = 0
         self._key = jax.random.key(seed + 0x7E47)
@@ -391,6 +481,7 @@ class TemperingContainer:
         self.graph = None
         self.betas = None
         self.hetero = False
+        self.xors = None
         self._parity = 0
         self.total_swaps = 0
         self._heatbath = False
@@ -401,18 +492,21 @@ class TemperingContainer:
         """Append a graph at inverse temperature ``beta``
         (``add_qmc_stepper``, ``tempering_container.rs:65-74``). Raises
         ``ValueError`` where the reference returns ``Err``: incompatible
-        shapes, different edge sets, or couplings with no positive per-bond
-        ratio to the first graph's (sign flips). Arbitrary same-sign per-bond
-        coupling disorder is accepted — the label-swap design tracks
-        per-*bond* multipliers, the reference's Ising ``relative_weight``
-        path (``tempering_traits.rs:117-155``)."""
+        shapes, different edge sets, or zero/nonzero coupling mismatches.
+        Arbitrary same-sign per-bond coupling disorder is accepted via
+        per-*bond* multiplier labels — the reference's Ising
+        ``relative_weight`` path (``tempering_traits.rs:117-155``) — and
+        **mixed-sign couplings** (±J disorder) are accepted too, as
+        substate-XOR labels driving the op-resolved swap acceptance — the
+        batched form of the reference's generic ``OpWeights`` op walk
+        (``tempering_traits.rs:163-196``)."""
         if self._pending is None or self.graph is not None:
             raise ValueError("container already materialized; add graphs first")
         if self._pending:
             base = self._pending[0][0]
             if q.nvars != base.nvars or q.model.nbonds != base.model.nbonds:
                 raise ValueError("graph shapes do not match the ladder")
-            _relative_bond_scales(base, q)  # raises when not representable
+            _relative_bond_params(base, q)  # raises when not representable
         self._pending.append((q, float(beta)))
 
     def _finalize(self) -> None:
@@ -446,14 +540,18 @@ class TemperingContainer:
         self.betas = jnp.asarray(
             np.concatenate([np.full(q.replicas, b, np.float32) for q, b in pend])
         )
+        params = [_relative_bond_params(base, q) for q, _ in pend]
         sc = np.concatenate(
-            [
-                np.tile(_relative_bond_scales(base, q)[None], (q.replicas, 1))
-                for q, _ in pend
-            ]
+            [np.tile(s[None], (q.replicas, 1))
+             for (q, _), (s, _) in zip(pend, params)]
+        )  # [R, NB]
+        xr = np.concatenate(
+            [np.tile(x[None], (q.replicas, 1))
+             for (q, _), (_, x) in zip(pend, params)]
         )  # [R, NB]
         self.hetero = bool(np.max(np.abs(sc - 1.0)) > 1e-12)
         self.scales = jnp.asarray(sc)
+        self.xors = jnp.asarray(xr) if xr.any() else None
         self._key = jax.random.key(self._seed + 0x7E47)
         if self._heatbath:
             self.set_enable_heatbath(True)
@@ -535,6 +633,7 @@ class TemperingContainer:
                 heatbath=self._heatbath,
                 bond_scale=self._bond_scale(),
                 cluster_caps=g._cluster_caps,
+                bond_xor=self.xors,
             )
             done += todo
             before = g.cutoff
@@ -547,14 +646,24 @@ class TemperingContainer:
         """One alternating-parity neighbor-swap sweep; returns swap count."""
         self._finalize()
         n = _ops.op_count(self.graph.sse.ops)
-        if self.hetero:
-            n_bond = _ops.bond_counts(self.graph.sse.ops, self.graph.model.nbonds)
-            log_c = jnp.log(jnp.maximum(self.scales, 1e-30))
+        if self.xors is not None:
+            perm, swaps = tempering_step(
+                n, self.betas, self._split(), self._parity,
+                ops=self.graph.sse.ops, model=self.graph.model,
+                scales=self.scales, xors=self.xors,
+            )
+            self.xors = self.xors[perm]
         else:
-            n_bond = log_c = None
-        perm, swaps = tempering_step(
-            n, self.betas, self._split(), self._parity, n_bond, log_c
-        )
+            if self.hetero:
+                n_bond = _ops.bond_counts(
+                    self.graph.sse.ops, self.graph.model.nbonds
+                )
+                log_c = jnp.log(jnp.maximum(self.scales, 1e-30))
+            else:
+                n_bond = log_c = None
+            perm, swaps = tempering_step(
+                n, self.betas, self._split(), self._parity, n_bond, log_c
+            )
         self.betas = self.betas[perm]
         if self.hetero:
             self.scales = self.scales[perm]
@@ -607,12 +716,13 @@ class TemperingContainer:
                 [(step + i + 1) % swap_freq == 0 for i in range(todo)]
             )
             samp = [(step + i + 1) % freq == 0 for i in range(todo)]
-            (g.sse, self.betas, self.scales, hb, parity, nswaps, _ns,
-             st, bt) = tempering_sweep_chunk(
+            (g.sse, self.betas, self.scales, self.xors, hb, parity, nswaps,
+             _ns, st, bt) = tempering_sweep_chunk(
                 g.sse, self.betas, self.scales, self._parity, do_swap,
                 g.model, todo,
                 hb=self._hb, heatbath=self._heatbath, hetero=self.hetero,
                 collect_states=any(samp), cluster_caps=g._cluster_caps,
+                xors=self.xors,
             )
             if self._hb is not None:
                 self._hb = hb
@@ -690,6 +800,10 @@ class TemperingContainer:
         rsh = NamedSharding(mesh, P(axis_name))
         self.betas = jax.device_put(self.betas, rsh)
         self.scales = jax.device_put(self.scales, NamedSharding(mesh, P(axis_name, None)))
+        if self.xors is not None:
+            self.xors = jax.device_put(
+                self.xors, NamedSharding(mesh, P(axis_name, None))
+            )
 
     def states_by_temperature(self):
         """Current states ordered by ascending beta (temperature grouping)."""
@@ -730,4 +844,14 @@ class TemperingContainer:
 
     def verify(self) -> bool:
         self._finalize()
-        return self.graph.verify()
+        if self.xors is None:
+            return self.graph.verify()
+        # Signed ladders: the positive-weight oracle must judge each replica
+        # under its OWN sign-pattern label (flipped bonds legitimately hold
+        # ops with zero base-table weight).
+        sse = self.graph.sse
+        return bool(
+            jnp.all(
+                _ops.verify(sse.ops, sse.state, self.graph.model, self.xors)
+            )
+        )

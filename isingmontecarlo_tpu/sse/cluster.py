@@ -673,6 +673,7 @@ def cluster_update(
     prob: float = 0.5,
     label_cap: int | None = None,
     edge_cap: int | None = None,
+    bond_xor: jax.Array | None = None,  # i32[R, NB] sign-pattern masks
 ) -> tuple[OpString, jax.Array]:
     """Flip every spacetime cluster with probability ``prob`` x weight ratio.
 
@@ -686,7 +687,8 @@ def cluster_update(
     """
     sg = segment_graph(ops, model)
     return _cluster_update_impl(
-        ops, state, key, model, prob, label_cap, edge_cap, sg
+        ops, state, key, model, prob, label_cap, edge_cap, sg,
+        bond_xor=bond_xor,
     )
 
 
@@ -699,6 +701,7 @@ def _cluster_update_impl(
     label_cap: int | None,
     edge_cap: int | None,
     sg: SegGraph,
+    bond_xor: jax.Array | None = None,
 ) -> tuple[OpString, jax.Array]:
     """:func:`cluster_update` body given a precomputed :func:`segment_graph`
     (callers that also need per-variable leg info — e.g. the sweep driver's
@@ -715,6 +718,13 @@ def _cluster_update_impl(
     # flipped substate: toggle the valid legs' bits
     arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)
     legmask = (1 << arity) - 1  # int[M, R]
+    if bond_xor is not None:
+        # Per-replica sign patterns permute the weight-table columns (see
+        # diagonal._xor_si); the stored spins stay physical, so only these
+        # lookup indices shift (XOR commutes with the cluster's leg flip).
+        xm = bond_xor[jnp.arange(R, dtype=jnp.int32)[None, :], b]
+        si = si ^ xm
+        so = so ^ xm
     fsi = si ^ legmask
     fso = so ^ legmask
     if model.full_w is not None:

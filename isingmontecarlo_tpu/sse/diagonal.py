@@ -59,6 +59,22 @@ def make_heatbath_tables(
     return HeatBathTables(cum_max_w=cum, total=cum[:, -1])
 
 
+def _xor_si(si, bond_xor, b, rows):
+    """Substate index for weight-table lookups under a per-replica sign
+    pattern. A sign-flipped coupling's weight table is EXACTLY the base
+    table with substate columns permuted by an XOR mask (Ising two-site:
+    ``|J| ∓ J`` swaps aligned/anti-aligned, i.e. flip one leg's bit;
+    longitudinal: ``|h| ± h`` swaps up/down): ``w_flip(b, s) = w(b, s ^
+    m_b)``. ``bond_xor: i32[R, NB]`` holds per-replica masks (0 = base
+    sign); the stored spin states stay physical — only lookups permute.
+    This is the label-swap representation of sign disorder that
+    ``tempering_traits.rs:163-196`` handles by op-walking."""
+    if bond_xor is None:
+        return si
+    rr = rows.reshape((1,) * (si.ndim - 1) + (-1,))
+    return si ^ bond_xor[rr, b]
+
+
 def _gather_state_bits(state, vars_p, rows):
     """state bool[R, N], vars_p i32[K, R] (−1 pads) -> bits bool[K, R]."""
     bits = []
@@ -120,7 +136,8 @@ _SPEC_WINDOW = 128
 _SPEC_BLOCK = 128
 
 
-def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None):
+def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
+                      bond_xor=None):
     """Everything the diagonal sweep needs per slot, computed upfront.
 
     Key fact: a diagonal sweep only inserts/removes *diagonal* ops, which do
@@ -201,7 +218,9 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None):
         bits_new = (sb ^ pb) & q_ok  # [M, R, K]
         weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
         si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)
-        w_new = row_select(model.diag_w, b_new, si_new)
+        w_new = row_select(
+            model.diag_w, b_new, _xor_si(si_new, bond_xor, b_new, rows)
+        )
         return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
     cap = max_elems or (
         _PAR_MAX_ELEMS_PACKED if on_tpu else _PAR_MAX_ELEMS
@@ -310,7 +329,9 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None):
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]
     weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
     si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
-    w_new = row_select(model.diag_w, b_new, si_new)
+    w_new = row_select(
+        model.diag_w, b_new, _xor_si(si_new, bond_xor, b_new, rows)
+    )
     return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
 
 
@@ -435,6 +456,7 @@ def _diagonal_update_fast(
     heatbath: bool = False,
     bond_scale: jax.Array | None = None,
     unroll: int = 8,
+    bond_xor: jax.Array | None = None,
 ) -> OpString:
     """Precomputed-weights diagonal sweep: identical Markov chain to
     :func:`diagonal_update` (same uniforms, same acceptance arithmetic), but
@@ -452,7 +474,7 @@ def _diagonal_update_fast(
     u = jax.random.uniform(key, (3, M, R))
     n0 = op_count(ops)
     b_new, bits_new, w_new = _parallel_weights(
-        ops, state, u[1], model, hb, heatbath
+        ops, state, u[1], model, hb, heatbath, bond_xor=bond_xor
     )
 
     is_ident = ops.bond < 0
@@ -463,7 +485,9 @@ def _diagonal_update_fast(
         * (1 << jnp.arange(ops.max_legs, dtype=jnp.int32))[:, None, None],
         axis=0,
     )
-    w_cur = row_select(model.diag_w, b_safe, si_cur)
+    w_cur = row_select(
+        model.diag_w, b_safe, _xor_si(si_cur, bond_xor, b_safe, rows)
+    )
     if bond_scale is not None:
         w_new = w_new * bond_scale[rows[None, :], b_new]
         w_cur = w_cur * bond_scale[rows[None, :], b_safe]
@@ -541,6 +565,7 @@ def diagonal_update(
     heatbath: bool = False,
     bond_scale: jax.Array | None = None,  # f32[R, NB]
     unroll: int = 4,
+    bond_xor: jax.Array | None = None,  # i32[R, NB] sign-pattern masks
 ) -> OpString:
     """One full diagonal sweep (dispatcher). The precomputed-weights fast
     path chunks its parity tensors to the element cap, so it applies at any
@@ -549,7 +574,7 @@ def diagonal_update(
     del unroll
     return _diagonal_update_fast(
         ops, state, beta, key, model, hb=hb, heatbath=heatbath,
-        bond_scale=bond_scale,
+        bond_scale=bond_scale, bond_xor=bond_xor,
     )
 
 
@@ -564,6 +589,7 @@ def _diagonal_update_scan(
     heatbath: bool = False,
     bond_scale: jax.Array | None = None,  # f32[R, NB]
     unroll: int = 4,
+    bond_xor: jax.Array | None = None,  # i32[R, NB] sign-pattern masks
 ) -> OpString:
     """One full diagonal sweep as a sequential scan carrying ``(state, n)``.
 
@@ -636,10 +662,14 @@ def _diagonal_update_scan(
             b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
         vars_new = jnp.moveaxis(bond_vars[b_new], -1, 0)  # [K, R]
         bits_new = _gather_state_bits(prop, vars_new, rows)  # [K, R]
-        w_new = diag_w[b_new, _substate_idx(bits_new)]  # [R]
+        w_new = diag_w[
+            b_new, _xor_si(_substate_idx(bits_new), bond_xor, b_new, rows)
+        ]  # [R]
 
         # --- current op weight (for removal) ------------------------------
-        w_cur = diag_w[b_safe, _substate_idx(in_p)]
+        w_cur = diag_w[
+            b_safe, _xor_si(_substate_idx(in_p), bond_xor, b_safe, rows)
+        ]
 
         if bond_scale is not None:
             w_new = w_new * bond_scale[rows, b_new]

@@ -106,6 +106,7 @@ def sweep(
     cluster_caps: tuple[int, int] | None = None,
     do_cluster: bool = True,
     rvb_compact: int | None = None,
+    bond_xor: jax.Array | None = None,
 ) -> tuple[SseState, jax.Array]:
     """One full QMC timestep (``qmc_ising.rs:644-795`` minus cutoff growth).
 
@@ -114,11 +115,19 @@ def sweep(
     schedule of detailed-balance-preserving updates samples the same
     distribution; the reference composition is ``do_cluster=True`` every
     step). Returns ``(state, rvb_successes i32[R])`` (zeros when RVB is
-    off)."""
+    off).
+
+    ``bond_xor: i32[R, NB]`` carries per-replica sign patterns as weight
+    -table substate permutations (see ``diagonal._xor_si``) — the signed
+    tempering-ladder path. RVB is excluded with it: its tables bake the
+    base model's sign structure."""
+    assert bond_xor is None or n_rvb == 0, (
+        "RVB updates do not support per-replica sign patterns (bond_xor)"
+    )
     key, k_diag, k_rvb, k_clust, k_free = jax.random.split(sse.key, 5)
     ops = _diag.diagonal_update(
         sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath,
-        bond_scale=bond_scale,
+        bond_scale=bond_scale, bond_xor=bond_xor,
     )
     state = sse.state
     if n_rvb > 0:
@@ -139,7 +148,7 @@ def sweep(
     sg = _cluster.segment_graph(ops, model)
     has_op = (sg.head_f < ops.max_legs * ops.bond.shape[0]).T  # [R, N]
     ops, state = _cluster._cluster_update_impl(
-        ops, state, k_clust, model, 0.5, lc, ec, sg
+        ops, state, k_clust, model, 0.5, lc, ec, sg, bond_xor=bond_xor
     )
     sse = SseState(ops=ops, state=state, key=key)
     return resample_free_spins(sse, k_free, model, has_op=has_op), succ
@@ -166,6 +175,7 @@ def multi_sweep(
     cluster_caps: tuple[int, int] | None = None,
     cluster_every: int = 1,
     rvb_compact: int | None = None,
+    bond_xor: jax.Array | None = None,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
@@ -178,7 +188,7 @@ def multi_sweep(
     kw = dict(
         hb=hb, heatbath=heatbath, rvb_tables=rvb_tables, n_rvb=n_rvb,
         bond_scale=bond_scale, cluster_caps=cluster_caps,
-        rvb_compact=rvb_compact,
+        rvb_compact=rvb_compact, bond_xor=bond_xor,
     )
 
     def body(carry, do_cluster):

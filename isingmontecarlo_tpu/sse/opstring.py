@@ -224,11 +224,20 @@ def substate_index(bits: jax.Array) -> jax.Array:
     return jnp.sum(bits.astype(jnp.int32) * weights, axis=0)
 
 
-def op_weights(ops: OpString, model: BondModel) -> jax.Array:
-    """f32[M, R]: matrix element of every op (1.0 for identities)."""
+def op_weights(
+    ops: OpString, model: BondModel, bond_xor: jax.Array | None = None
+) -> jax.Array:
+    """f32[M, R]: matrix element of every op (1.0 for identities).
+    ``bond_xor: i32[R, NB]`` applies per-replica sign-pattern labels as
+    substate-column permutations (see ``diagonal._xor_si``)."""
     b = jnp.maximum(ops.bond, 0)
     si = substate_index(ops.inputs)
     so = substate_index(ops.outputs)
+    if bond_xor is not None:
+        rows = jnp.arange(ops.replicas, dtype=jnp.int32)[None, :]
+        x = bond_xor[rows, b]
+        si = si ^ x
+        so = so ^ x
     if model.full_w is not None:
         w = model.full_w[b, si, so]
     else:
@@ -259,6 +268,55 @@ def log_relative_weight(
         axis=0,
     )
     return logw, is_zero
+
+
+def log_weight_delta(
+    ops: OpString,
+    model: BondModel,
+    scale_a: jax.Array,  # f32[R, NB] per-bond multipliers of label a
+    xor_a: jax.Array,  # i32[R, NB] sign-pattern masks of label a
+    scale_b: jax.Array,
+    xor_b: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-replica ``log W(string | label_b) - log W(string | label_a)``
+    where a *label* is (per-bond multiplier, per-bond substate-XOR mask)
+    relative to the shared base ``model`` — the batched, label-space form
+    of :func:`log_relative_weight` used by signed tempering ladders: one
+    fused ``[M, R]`` pass instead of the reference's per-op walk
+    (``tempering_traits.rs:163-196``). Returns ``(delta f32[R], blocked
+    bool[R])``; ``blocked`` marks replicas whose string has zero weight
+    under label b (swap impossible — matches the reference returning 0)."""
+    from isingmontecarlo_tpu.sse.tables import row_select, row_select3
+
+    b = jnp.maximum(ops.bond, 0)
+    occupied = ops.bond >= 0
+    si = substate_index(ops.inputs)
+    so = substate_index(ops.outputs)
+    rows = jnp.arange(ops.replicas, dtype=jnp.int32)[None, :]
+
+    def w_under(xor):
+        x = xor[rows, b]  # [M, R]
+        if model.full_w is not None:
+            w = row_select3(model.full_w, b, si ^ x, so ^ x)
+        else:
+            w = jnp.where(si == so, row_select(model.diag_w, b, si ^ x), 0.0)
+        return w
+
+    wa = w_under(xor_a)
+    wb = w_under(xor_b)
+    blocked = jnp.any(occupied & (wb <= 0.0), axis=0)
+    dlog_tab = jnp.where(
+        occupied,
+        jnp.log(jnp.maximum(wb, 1e-30)) - jnp.log(jnp.maximum(wa, 1e-30)),
+        0.0,
+    )
+    dlog_scale = jnp.where(
+        occupied,
+        (jnp.log(jnp.maximum(scale_b, 1e-30))
+         - jnp.log(jnp.maximum(scale_a, 1e-30)))[rows, b],
+        0.0,
+    )
+    return jnp.sum(dlog_tab + dlog_scale, axis=0), blocked
 
 
 def itime_fold(ops: OpString, state: jax.Array, model: BondModel, fold_fn, init):
@@ -296,7 +354,10 @@ def itime_fold(ops: OpString, state: jax.Array, model: BondModel, fold_fn, init)
 
 
 @functools.partial(jax.jit, static_argnames=())
-def verify(ops: OpString, state: jax.Array, model: BondModel) -> jax.Array:
+def verify(
+    ops: OpString, state: jax.Array, model: BondModel,
+    bond_xor: jax.Array | None = None,
+) -> jax.Array:
     """Worldline integrity oracle per replica (``OpContainer::verify``,
     ``src/sse/qmc_traits/op_container.rs:137-159`` plus the positive-weight
     check of ``qmc_ising.rs:829-861``).
@@ -334,7 +395,7 @@ def verify(ops: OpString, state: jax.Array, model: BondModel) -> jax.Array:
         ),
     )
     ok = ok & jnp.all(prop == state, axis=1)
-    ok = ok & jnp.all(op_weights(ops, model) > 0.0, axis=0)
+    ok = ok & jnp.all(op_weights(ops, model, bond_xor) > 0.0, axis=0)
     return ok
 
 

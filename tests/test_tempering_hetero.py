@@ -253,16 +253,34 @@ class TestPerBondDisorder:
         # scale of e1's second edge (1,2): 0.75/0.5 = 1.5
         np.testing.assert_allclose(np.asarray(tc.scales)[1, 1], 1.5, rtol=1e-6)
 
-    def test_sign_flip_rejected(self):
-        from isingmontecarlo_tpu.parallel import tempering as pt
+    def test_scales_path_rejects_sign_flip(self):
+        """The pure label-swap (positive-scale) representation cannot absorb
+        a sign flip — `_relative_bond_scales` must say so and point at the
+        signed path (which the container now takes automatically)."""
+        from isingmontecarlo_tpu.parallel.tempering import (
+            _relative_bond_scales,
+        )
         from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
 
         e1 = _disorder_edges([1.0, 1.0, 1.0, 1.0])
         e2 = _disorder_edges([-1.0, 1.0, 1.0, 1.0])
+        g1 = QmcIsingGraph(e1, transverse=1.0, seed=0)
+        g2 = QmcIsingGraph(e2, transverse=1.0, seed=1)
+        with pytest.raises(ValueError, match="sign"):
+            _relative_bond_scales(g1, g2)
+
+    def test_transverse_sign_flip_rejected(self):
+        """A transverse-field sign flip has no substate-permutation label
+        (the transverse table is substate-constant) — still an error, as in
+        the reference's zero/nonzero weight-support mismatch."""
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        e1 = _disorder_edges([1.0, 1.0, 1.0, 1.0])
         tc = pt.new_with_rng(seed=0)
         tc.add_qmc_stepper(QmcIsingGraph(e1, transverse=1.0, seed=0), 1.0)
-        with pytest.raises(ValueError, match="sign flip"):
-            tc.add_qmc_stepper(QmcIsingGraph(e2, transverse=1.0, seed=1), 1.0)
+        with pytest.raises(ValueError):
+            tc.add_qmc_stepper(QmcIsingGraph(e1, transverse=-1.0, seed=1), 1.0)
 
 
 class TestGenericOpWalkSwap:
@@ -333,3 +351,106 @@ class TestGenericOpWalkSwap:
         ed_b = exact_tfim_energy(e_b, 1.0, 0.0, beta, 4)
         assert float(np.mean(es_a)) == pytest.approx(ed_a, abs=0.15)
         assert float(np.mean(es_b)) == pytest.approx(ed_b, abs=0.15)
+
+
+class TestSignedContainer:
+    """Mixed-sign Hamiltonians inside ONE TemperingContainer
+    (``tempering_traits.rs:163-196``): sign flips become per-replica
+    substate-XOR labels; swaps use the fused op-resolved acceptance."""
+
+    def test_log_weight_delta_matches_op_walk(self):
+        """The label-space delta (base table + XOR masks) must equal the
+        explicit two-model op walk for a sign-flipped edge pattern."""
+        import jax.numpy as jnp
+
+        from isingmontecarlo_tpu.sse import opstring as _ops
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+        from isingmontecarlo_tpu.sse.model import tfim_model
+
+        e_a = _disorder_edges([1.0, 1.0, 1.0, 1.0])
+        e_b = _disorder_edges([-1.0, 1.0, -1.0, 1.0])
+        g = QmcIsingGraph(e_a, transverse=1.0, replicas=8, seed=3)
+        g.timesteps(20, 1.0)
+        model_b = tfim_model(e_b, 1.0)
+        want, want_zero = _ops.log_relative_weight(
+            g.sse.ops, g.model, model_b
+        )
+        nb = g.model.nbonds
+        ones = jnp.ones((8, nb), jnp.float32)
+        zeros = jnp.zeros((8, nb), jnp.int32)
+        xor_b = zeros.at[:, 0].set(1).at[:, 2].set(1)
+        got, blocked = _ops.log_weight_delta(
+            g.sse.ops, g.model, ones, zeros, ones, xor_b
+        )
+        # ferromagnetic ground-state-adjacent strings can have zero weight
+        # under the flipped bonds — both paths must agree on that too
+        np.testing.assert_array_equal(
+            np.asarray(blocked), np.asarray(want_zero)
+        )
+        ok = ~np.asarray(blocked)
+        np.testing.assert_allclose(
+            np.asarray(got)[ok], np.asarray(want)[ok], rtol=1e-4, atol=1e-4
+        )
+
+    def test_signed_ladder_accepted_and_stationary(self):
+        """±J disorder realizations temper in ONE container: per-label mean
+        energies must match dense ED for each realization (validates the
+        bond_xor sweep path, label permutation, and op-resolved swaps)."""
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse import opstring as _ops
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+        from tests.test_sse import exact_tfim_energy
+
+        beta = 1.0
+        e_a = _disorder_edges([1.0, 1.0, 1.0, 1.0])
+        e_b = _disorder_edges([-1.0, 1.0, 1.0, 1.0])  # frustrated ring
+        tc = pt.new_with_rng(seed=8)
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_a, transverse=1.0, replicas=24, seed=1), beta
+        )
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_b, transverse=1.0, replicas=24, seed=2), beta
+        )
+        tc.timesteps(50)
+        assert tc.xors is not None
+
+        es, labels = [], []
+        for i in range(150):
+            tc.timesteps(1)
+            if i % 2 == 0:
+                tc.tempering_step()
+            n = np.asarray(_ops.op_count(tc.graph.sse.ops), np.float64)
+            es.append(-n / beta + tc.graph.model.offset)
+            labels.append(np.asarray(tc.xors[:, 0], np.int64))
+        assert tc.get_total_swaps() > 0, "signed ladder should swap"
+        assert tc.verify()
+        es = np.stack(es)
+        labels = np.stack(labels)
+        is_a = labels == 0
+        ed_a = exact_tfim_energy(e_a, 1.0, 0.0, beta, 4)
+        ed_b = exact_tfim_energy(e_b, 1.0, 0.0, beta, 4)
+        assert float(es[is_a].mean()) == pytest.approx(ed_a, abs=0.15)
+        assert float(es[~is_a].mean()) == pytest.approx(ed_b, abs=0.15)
+
+    def test_signed_ladder_fused_chunk_sampling(self):
+        """The one-jit run/swap/sample chunk must carry the XOR labels
+        through swaps (timesteps_sample path) and stay stationary."""
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        beta = 1.0
+        e_a = _disorder_edges([1.0, 1.0, 1.0, 1.0])
+        e_b = _disorder_edges([-1.0, 1.0, 1.0, 1.0])
+        tc = pt.new_with_rng(seed=13)
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_a, transverse=1.0, replicas=8, seed=3), beta
+        )
+        tc.add_qmc_stepper(
+            QmcIsingGraph(e_b, transverse=1.0, replicas=8, seed=4), beta
+        )
+        states, bet = tc.timesteps_sample(24, swap_freq=2, chunk=8)
+        assert states.shape[0] == 24 and states.shape[1] == 16
+        assert tc.verify()
+        # XOR labels remain a permutation of the original ladder
+        x0 = np.sort(np.asarray(tc.xors[:, 0]))
+        np.testing.assert_array_equal(x0, np.r_[np.zeros(8), np.ones(8)])
