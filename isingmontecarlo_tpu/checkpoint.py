@@ -219,6 +219,13 @@ def save_tempering(path: str, container, *, strip_rng: bool = False) -> None:
         parity=container._parity,
         total_swaps=container.total_swaps,
         scales=np.asarray(container.scales, np.float32),
+        # Signed ladders: per-replica sign-pattern labels (substate-XOR
+        # masks); empty array = unsigned, keeps the format self-describing.
+        xors=(
+            np.asarray(container.xors, np.int32)
+            if container.xors is not None
+            else np.zeros((0, 0), np.int32)
+        ),
         strip_rng=strip_rng,
     )
 
@@ -256,4 +263,7 @@ def load_tempering(path: str, *, seed: int | None = None):
         sc = np.asarray(meta["scales"], np.float32)
         container.scales = jnp.asarray(sc)
         container.hetero = bool(np.max(np.abs(sc - 1.0)) > 1e-12)
+    if "xors" in meta:  # signed-ladder sign-pattern labels
+        xr = np.asarray(meta["xors"], np.int32)
+        container.xors = jnp.asarray(xr) if xr.size else None
     return container

@@ -99,6 +99,30 @@ class TestCheckpoint:
         tc2.timesteps(2)
         tc2.tempering_step()
 
+    def test_signed_tempering_roundtrip(self, tmp_path):
+        """±J (signed) ladders checkpoint their sign-pattern labels."""
+        from isingmontecarlo_tpu import checkpoint as ckpt
+        from isingmontecarlo_tpu.parallel import tempering as pt
+        from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
+
+        base = lattice.chain(4, j=1.0)
+        flip = [(e, -j if i == 0 else j) for i, (e, j) in enumerate(base)]
+        tc = pt.new_with_rng(seed=6)
+        tc.add_qmc_stepper(QmcIsingGraph(base, 1.0, replicas=4, seed=1), 1.0)
+        tc.add_qmc_stepper(QmcIsingGraph(flip, 1.0, replicas=4, seed=2), 1.0)
+        tc.timesteps(5)
+        tc.tempering_step()
+        path = str(tmp_path / "signed.npz")
+        ckpt.save_tempering(path, tc)
+        tc2 = ckpt.load_tempering(path)
+        assert tc2.xors is not None
+        np.testing.assert_array_equal(
+            np.asarray(tc.xors), np.asarray(tc2.xors)
+        )
+        assert tc2.verify()  # needs the labels: flipped lanes hold
+        tc2.timesteps(2)     # zero-base-weight ops
+        tc2.tempering_step()
+
 
 class TestAutocorrelations:
     def test_variable_autocorrelation_shape_and_norm(self):
