@@ -478,11 +478,16 @@ class TestIncrementalTempering:
             tc.add_qmc_stepper(
                 QmcIsingGraph(lattice.chain(6, j=1.0), transverse=1.0), 2.0
             )
-        # non-proportional couplings: frustrate one bond only
+        # sign-flipped couplings are now ACCEPTED (signed substate-XOR
+        # labels, the op-resolved swap path); a transverse-field sign flip
+        # has no such representation and stays rejected
         edges = lattice.chain(4, j=1.0)
         edges[0] = (edges[0][0], -1.0)
+        tc.add_qmc_stepper(QmcIsingGraph(edges, transverse=1.0), 2.0)
         with pytest.raises(ValueError):
-            tc.add_qmc_stepper(QmcIsingGraph(edges, transverse=1.0), 2.0)
+            tc.add_qmc_stepper(
+                QmcIsingGraph(lattice.chain(4, j=1.0), transverse=-1.0), 2.0
+            )
         # zero-base scaling is rejected too
         with pytest.raises(ValueError):
             tc.add_qmc_stepper(
