@@ -19,7 +19,17 @@ exactly that:
 - Exclusive-scan semantics: slot ``p`` reads the carry *before* XORing its
   own toggles, matching ``par_excl`` in the XLA path bit-for-bit.
 
-Outputs ``pb`` (parity bit) and ``sb`` (state bit) per (slot, leg) —
+All slot-wise arrays travel as ``[K, M, R]`` (legs major, replicas on the
+VPU lane axis): the leg axis never touches the tiled minor dims, so neither
+the caller nor the kernel pays the 64x lane-padding a ``[M, R, K]`` layout
+incurs (measured: the prep transposes + row gathers of the old interface
+were 18.6 ms at [M~7000, R=512] — the kernel itself ~0.06 ms).
+
+Sentinel convention: any ``v >= 16 * W`` matches no word — its toggle is
+dropped and its fetched parity/state bits are 0. Callers encode invalid
+legs (and padding) that way instead of masking.
+
+Outputs ``pb`` (parity bit) and ``sb`` (state bit) per (leg, slot) —
 bit-identical to the packed/unpacked XLA paths (tests/test_diagonal_fast.py
 asserts equality through the public diagonal update).
 
@@ -36,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Slot rows per grid step: sized so the five streamed [B, K, R] i32 blocks
+# Slot rows per grid step: sized so the five streamed [K, B, R] i32 blocks
 # stay under ~4 MB combined (double buffering doubles the footprint), with
 # 512 rows at the benchmark replica counts.
 def _block_rows(K: int, R: int) -> int:
@@ -52,30 +62,27 @@ def _kernel(K: int, W: int, par0_ref, statew_ref, v_ref, tog_ref, vq_ref,
     def _():
         par_scr[:] = par0_ref[:]
 
-    B = v_ref.shape[0]
+    B = v_ref.shape[1]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)  # [W, 1]
     state_w = statew_ref[:]  # [W, R]
 
     def body(j, par):
         # Fetch the query-var parity/state bits at the pre-slot carry
         # (exclusive scan), then XOR this slot's toggles into the carry.
-        vq_row = vq_ref[j]  # [K, R]
-        v_row = v_ref[j]
-        t_row = tog_ref[j]
         for k in range(K):
-            vq = vq_row[k : k + 1, :]  # [1, R]
-            sel = (vq // 16) == iota_w  # [W, R]
+            vq = vq_ref[k, pl.ds(j, 1), :]  # [1, R]
+            sel = (vq // 16) == iota_w  # [W, R]; v >= 16W matches nothing
             word_p = jnp.sum(jnp.where(sel, par, 0), axis=0, keepdims=True)
             word_s = jnp.sum(jnp.where(sel, state_w, 0), axis=0,
                              keepdims=True)
             bit = vq % 16
             # i32 codes throughout: Mosaic lacks vector<i8> arithmetic.
-            pb_ref[j, k, :] = ((word_p >> bit) & 1)[0]
-            sb_ref[j, k, :] = ((word_s >> bit) & 1)[0]
+            pb_ref[k, pl.ds(j, 1), :] = (word_p >> bit) & 1
+            sb_ref[k, pl.ds(j, 1), :] = (word_s >> bit) & 1
         tog_w = jnp.zeros_like(par)
         for k in range(K):
-            v = v_row[k : k + 1, :]  # [1, R]; invalid legs carry tog=0
-            t = t_row[k : k + 1, :]
+            v = v_ref[k, pl.ds(j, 1), :]  # [1, R]; v >= 16W: toggle dropped
+            t = tog_ref[k, pl.ds(j, 1), :]
             tog_w = tog_w + jnp.where(
                 (v // 16) == iota_w, t << (v % 16), 0
             )
@@ -88,17 +95,17 @@ def _kernel(K: int, W: int, par0_ref, statew_ref, v_ref, tog_ref, vq_ref,
 def parity_bits(
     par0: jax.Array,     # i32[R, W] initial parity words (usually zeros)
     state_w: jax.Array,  # i32[R, W] packed p=0 state words
-    v_idx: jax.Array,    # i32[M, R, K] current-op vars (any >= N: no toggle)
-    tog: jax.Array,      # bool[M, R, K] leg toggles (False on invalid legs)
-    vq: jax.Array,       # i32[M, R, K] proposal-bond query vars (clamped)
+    v_idx: jax.Array,    # i32[K, M, R] current-op vars (>= 16W: no toggle)
+    tog: jax.Array,      # bool[K, M, R] leg toggles
+    vq: jax.Array,       # i32[K, M, R] proposal query vars (>= 16W: bits 0)
     *,
     interpret: bool = False,
 ):
-    """Per-(slot, leg) parity and state bits for the proposal vars, streamed
-    over M with the XOR carry in VMEM. Returns ``(pb, sb): bool[M, R, K]``,
+    """Per-(leg, slot) parity and state bits for the proposal vars, streamed
+    over M with the XOR carry in VMEM. Returns ``(pb, sb): bool[K, M, R]``,
     bit-identical to the XLA packed path (which chunks externally; the
     kernel streams all of M internally, so no carry is exposed)."""
-    M, R, K = v_idx.shape
+    K, M, R = v_idx.shape
     W = par0.shape[1]
     B = _block_rows(K, R)
     Mp = -(-M // B) * B
@@ -106,16 +113,16 @@ def parity_bits(
     def prep(a, fill):
         a = a.astype(jnp.int32)
         if Mp != M:
-            a = jnp.pad(a, ((0, Mp - M), (0, 0), (0, 0)),
+            a = jnp.pad(a, ((0, 0), (0, Mp - M), (0, 0)),
                         constant_values=fill)
-        return a.swapaxes(1, 2)  # [Mp, K, R]
+        return a
 
-    # Pads: v = 16*W (beyond every word -> no toggle), tog = 0, vq = 0.
+    # Pads: v/vq = 16*W (beyond every word -> no toggle, bits 0), tog = 0.
     v_p = prep(v_idx, 16 * W)
     tog_p = prep(tog, 0)
-    vq_p = prep(vq, 0)
+    vq_p = prep(vq, 16 * W)
 
-    row_spec = pl.BlockSpec((B, K, R), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((K, B, R), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((W, R), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -125,12 +132,10 @@ def parity_bits(
         in_specs=[full_spec, full_spec, row_spec, row_spec, row_spec],
         out_specs=[row_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((Mp, K, R), jnp.int32),
-            jax.ShapeDtypeStruct((Mp, K, R), jnp.int32),
+            jax.ShapeDtypeStruct((K, Mp, R), jnp.int32),
+            jax.ShapeDtypeStruct((K, Mp, R), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((W, R), jnp.int32)],
         interpret=interpret,
     )(par0.T, state_w.T, v_p, tog_p, vq_p)
-    pb = pb[:M].swapaxes(1, 2) == 1  # [M, R, K]
-    sb = sb[:M].swapaxes(1, 2) == 1
-    return pb, sb
+    return pb[:, :M] == 1, sb[:, :M] == 1  # bool[K, M, R]

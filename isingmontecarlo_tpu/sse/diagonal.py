@@ -75,6 +75,75 @@ def _xor_si(si, bond_xor, b, rows):
     return si ^ bond_xor[rr, b]
 
 
+# Class-table weight lookups replace per-lane ``diag_w`` gathers when the
+# model has at most this many (class, substate) cells: the select chain is
+# pure VPU lane work on [M, R] grids, while the row-gather form
+# ``diag_w[b] -> [M, R, 2^K]`` puts 2^K on the lane axis (padded to 128 —
+# measured 18.4 ms per lookup at [M~7000, R=512] vs ~0.1 ms this way).
+_CLASS_MAX_CELLS = 64
+
+# take0 (ops/take_kernel.py) encodes table values in base-128 digit pairs.
+_TAKE0_MAX = 1 << 14
+
+
+def _bond_fetch(tab, idx, on_tpu):
+    """``tab[idx]`` for a per-bond int table ``tab i32[NB]`` (values in
+    ``[0, 2^14)``) and index grid ``idx i32[M, R]``. On TPU the per-lane
+    gather scalarizes (~0.3 GB/s — CLAUDE.md), so it rides the two-stage
+    digit-gather kernel instead."""
+    if on_tpu and tab.shape[0] <= _TAKE0_MAX:
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        t = jnp.broadcast_to(
+            tab.astype(jnp.int32)[:, None], (tab.shape[0], idx.shape[-1])
+        )
+        return take0(t, idx)
+    return tab[idx]
+
+
+def _fetch_xor(bond_xor, b, on_tpu):
+    """Per-replica sign-pattern mask ``bond_xor[r, b]`` for ``b i32[M, R]``
+    (see :func:`_xor_si`); per-replica table columns ride take0 natively."""
+    R, NB = bond_xor.shape
+    if on_tpu and NB <= _TAKE0_MAX:
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        return take0(bond_xor.T.astype(jnp.int32), b)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    return bond_xor[rows.reshape((1,) * (b.ndim - 1) + (-1,)), b]
+
+
+def _class_select(wtab, cls_idx, si_idx):
+    """``wtab[cls, si]`` via a compare-select chain over the C*S cells —
+    exact (selects original f32 entries), gather-free, lane-parallel."""
+    C, S = wtab.shape
+    flat = wtab.reshape(-1)
+    code = cls_idx * S + si_idx
+    out = jnp.broadcast_to(flat[0], code.shape)
+    for j in range(1, C * S):
+        out = jnp.where(code == j, flat[j], out)
+    return out
+
+
+def _use_class_tables(model) -> bool:
+    return (
+        model.wtab is not None
+        and model.wtab.shape[0] * model.wtab.shape[1] <= _CLASS_MAX_CELLS
+    )
+
+
+def _weight_lookup(model, b, si, bond_xor, rows, on_tpu):
+    """``diag_w[b, si ^ xor_mask]`` on an ``[M, R]`` (bond, substate) grid:
+    class-table select chain when the model factorizes small, else the
+    row-gather + where-chain of :func:`row_select`."""
+    if _use_class_tables(model):
+        if bond_xor is not None:
+            si = si ^ _fetch_xor(bond_xor, b, on_tpu)
+        cls_b = _bond_fetch(model.cls, b, on_tpu)
+        return _class_select(model.wtab, cls_b, si)
+    return row_select(model.diag_w, b, _xor_si(si, bond_xor, b, rows))
+
+
 def _gather_state_bits(state, vars_p, rows):
     """state bool[R, N], vars_p i32[K, R] (−1 pads) -> bits bool[K, R]."""
     bits = []
@@ -186,6 +255,54 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
         on_tpu = _FORCE_PACKED
     else:
         on_tpu = jax.default_backend() == "tpu"
+
+    use_parity_kernel = (
+        _FORCE_PARITY_KERNEL
+        if _FORCE_PARITY_KERNEL is not None
+        else _PARITY_KERNEL_DEFAULT and jax.default_backend() == "tpu"
+    )
+    if use_parity_kernel:
+        # Everything stays [K, M, R] (legs major, replicas on lanes): per-leg
+        # bond-var fetches ride take0, toggles come straight off the SoA op
+        # string, and invalid legs carry the >= 16W sentinel the kernel
+        # drops — no [M, R, K] tensor (64x lane padding) is ever formed.
+        from isingmontecarlo_tpu.ops.parity_kernel import parity_bits
+
+        kern_tpu = jax.default_backend() == "tpu"
+        W = -(-N // 16)
+        sent = 16 * W
+        b_safe = jnp.maximum(ops.bond, 0)
+        bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, sent)
+        v_idx = jnp.stack(
+            [_bond_fetch(bv_nn[:, k], b_safe, kern_tpu) for k in range(K)]
+        )  # [K, M, R]
+        vq = jnp.stack(
+            [_bond_fetch(bv_nn[:, k], b_new, kern_tpu) for k in range(K)]
+        )
+        # Identity slots fetch bond 0's vars, but their toggles are
+        # all-False (identity ops have inputs == outputs == False), so no
+        # bond >= 0 mask is needed; pad legs carry the sentinel.
+        tog = ops.inputs != ops.outputs  # [K, M, R]
+        # Exact integer word packing of the p=0 state (no bf16 round trip).
+        st_pad = jnp.pad(
+            state.astype(jnp.int32), ((0, 0), (0, sent - N))
+        ).reshape(R, W, 16)
+        state_w = jnp.sum(
+            st_pad << jnp.arange(16, dtype=jnp.int32)[None, None, :], axis=-1
+        )
+        pb, sb = parity_bits(
+            jnp.zeros((R, W), jnp.int32), state_w, v_idx, tog, vq,
+            interpret=not kern_tpu,
+        )
+        bits_new = sb ^ pb  # [K, M, R]; sentinel legs are 0 by construction
+        si_new = jnp.sum(
+            bits_new.astype(jnp.int32)
+            * (1 << jnp.arange(K, dtype=jnp.int32))[:, None, None],
+            axis=0,
+        )  # [M, R]
+        w_new = _weight_lookup(model, b_new, si_new, bond_xor, rows, kern_tpu)
+        return b_new, bits_new, w_new  # bits [K, M, R]
+
     vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]  # [M, R, K]
     leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
     tog = jnp.moveaxis(ops.inputs != ops.outputs, 0, -1) & leg_ok  # [M, R, K]
@@ -194,34 +311,6 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
     vq = model.bond_vars[b_new]  # [M, R, K]
     q_ok = vq >= 0
     vq_s = jnp.where(q_ok, vq, 0)
-
-    use_parity_kernel = (
-        _FORCE_PARITY_KERNEL
-        if _FORCE_PARITY_KERNEL is not None
-        else _PARITY_KERNEL_DEFAULT and jax.default_backend() == "tpu"
-    )
-    if use_parity_kernel:
-        from isingmontecarlo_tpu.ops.parity_kernel import parity_bits
-
-        W = -(-N // 16)
-        # Exact integer word packing of the p=0 state (no bf16 round trip).
-        st_pad = jnp.pad(
-            state.astype(jnp.int32), ((0, 0), (0, 16 * W - N))
-        ).reshape(R, W, 16)
-        state_w = jnp.sum(
-            st_pad << jnp.arange(16, dtype=jnp.int32)[None, None, :], axis=-1
-        )
-        pb, sb = parity_bits(
-            jnp.zeros((R, W), jnp.int32), state_w, v_idx, tog, vq_s,
-            interpret=jax.default_backend() != "tpu",
-        )
-        bits_new = (sb ^ pb) & q_ok  # [M, R, K]
-        weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
-        si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)
-        w_new = row_select(
-            model.diag_w, b_new, _xor_si(si_new, bond_xor, b_new, rows)
-        )
-        return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
     cap = max_elems or (
         _PAR_MAX_ELEMS_PACKED if on_tpu else _PAR_MAX_ELEMS
     )
@@ -329,8 +418,9 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
     bits_new = (sb ^ pb) & q_ok  # [M, R, K]
     weights = (1 << jnp.arange(K, dtype=jnp.int32))[None, None, :]
     si_new = jnp.sum(bits_new.astype(jnp.int32) * weights, axis=2)  # [M, R]
-    w_new = row_select(
-        model.diag_w, b_new, _xor_si(si_new, bond_xor, b_new, rows)
+    w_new = _weight_lookup(
+        model, b_new, si_new, bond_xor, rows,
+        jax.default_backend() == "tpu",
     )
     return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
 
@@ -485,18 +575,24 @@ def _diagonal_update_fast(
         * (1 << jnp.arange(ops.max_legs, dtype=jnp.int32))[:, None, None],
         axis=0,
     )
-    w_cur = row_select(
-        model.diag_w, b_safe, _xor_si(si_cur, bond_xor, b_safe, rows)
-    )
+    on_tpu = jax.default_backend() == "tpu"
+    w_cur = _weight_lookup(model, b_safe, si_cur, bond_xor, rows, on_tpu)
     if bond_scale is not None:
         w_new = w_new * bond_scale[rows[None, :], b_new]
         w_cur = w_cur * bond_scale[rows[None, :], b_safe]
 
     if heatbath:
         bw_tot = beta * hb.total  # [R]
-        # max over the gathered row == max_diag_w()[b_new] exactly (max is
-        # order-independent), and the row gather avoids a scalarized lookup.
-        maxw = jnp.max(model.diag_w[b_new], axis=-1)
+        if _use_class_tables(model):
+            # max over the class row == max_diag_w()[b_new] exactly (same
+            # floats, order-independent max), selected without a gather.
+            maxw_cls = jnp.max(model.wtab, axis=1)  # [C]
+            maxw = _class_select(
+                maxw_cls[:, None], _bond_fetch(model.cls, b_new, on_tpu),
+                jnp.int32(0),
+            )
+        else:
+            maxw = jnp.max(model.diag_w[b_new], axis=-1)
         if bond_scale is not None:
             maxw = maxw * bond_scale[rows[None, :], b_new]
         ins_w = u[2] * maxw < w_new  # [M, R], n-independent part

@@ -36,23 +36,35 @@ class BondModel:
     ``nvars`` are static aux data so they stay Python scalars inside jit.
     """
 
-    def __init__(self, bond_vars, is_constant, diag_w, full_w, offset, nvars):
+    def __init__(self, bond_vars, is_constant, diag_w, full_w, offset, nvars,
+                 cls=None, wtab=None):
         self.bond_vars = bond_vars  # i32[NB, K], -1 pads unused legs
         self.is_constant = is_constant  # bool[NB] (op_container.rs:90-93)
         self.diag_w = diag_w  # f32[NB, 2^K]
         self.full_w = full_w  # f32[NB, 2^K, 2^K] or None
         self.offset = offset  # energy offset from the weight shifts
         self.nvars = nvars
+        # Weight-class tables (see :func:`class_tables`): ``cls i32[NB]`` maps
+        # each bond to its distinct-``diag_w``-row class, ``wtab f32[C, 2^K]``
+        # holds the distinct rows, so ``diag_w[b, s] == wtab[cls[b], s]``
+        # exactly. The diagonal update's TPU fast path uses them to replace
+        # per-lane weight-table gathers with a tiny select chain (the
+        # ``[M, R, 2^K]`` row-gather form puts ``2^K`` on the VPU lane axis —
+        # measured 18 ms per lookup at [M~7000, R=512] vs ~0.1 ms this way).
+        self.cls = cls
+        self.wtab = wtab
 
     def tree_flatten(self):
-        children = (self.bond_vars, self.is_constant, self.diag_w, self.full_w)
+        children = (self.bond_vars, self.is_constant, self.diag_w,
+                    self.full_w, self.cls, self.wtab)
         return children, (self.offset, self.nvars)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bond_vars, is_constant, diag_w, full_w = children
+        bond_vars, is_constant, diag_w, full_w, bcls, wtab = children
         offset, nvars = aux
-        return cls(bond_vars, is_constant, diag_w, full_w, offset, nvars)
+        return cls(bond_vars, is_constant, diag_w, full_w, offset, nvars,
+                   cls=bcls, wtab=wtab)
 
     @property
     def nbonds(self) -> int:
@@ -70,6 +82,18 @@ class BondModel:
         """f32[NB]: max diagonal weight per bond (heat-bath ``BondWeights``,
         ``src/sse/qmc_traits/heatbath.rs:130-146``)."""
         return jnp.max(self.diag_w, axis=1)
+
+
+def class_tables(diag_w: np.ndarray) -> tuple[jax.Array, jax.Array]:
+    """Host-side weight-class factorization: group bonds by identical
+    ``diag_w`` rows. Returns ``(cls i32[NB], wtab f32[C, 2^K])`` with
+    ``diag_w[b] == wtab[cls[b]]`` bit-exactly (``wtab`` rows are copies of
+    original rows, not recomputed). Must run outside jit (value-dependent)."""
+    uq, inv = np.unique(np.asarray(diag_w), axis=0, return_inverse=True)
+    return (
+        jnp.asarray(inv.reshape(-1).astype(np.int32)),
+        jnp.asarray(uq.astype(np.float32)),
+    )
 
 
 def two_site_diag_weight(j: float, s0: bool, s1: bool) -> float:
@@ -140,6 +164,7 @@ def tfim_model(
         transverse + abs(longitudinal)
     )
 
+    cls, wtab = class_tables(diag_w)
     return BondModel(
         bond_vars=jnp.asarray(bond_vars),
         is_constant=jnp.asarray(is_constant),
@@ -147,6 +172,8 @@ def tfim_model(
         full_w=jnp.asarray(full_w),
         offset=offset,
         nvars=nvars,
+        cls=cls,
+        wtab=wtab,
     )
 
 
@@ -212,6 +239,7 @@ def generic_model(
                             diag_w[b, ii] = w
             is_constant[b] = bool(np.all(np.abs(mat - mat.flat[0]) < 1e-12))
 
+    cls, wtab = class_tables(diag_w)
     return BondModel(
         bond_vars=jnp.asarray(bond_vars),
         is_constant=jnp.asarray(is_constant),
@@ -219,4 +247,6 @@ def generic_model(
         full_w=jnp.asarray(full_w),
         offset=offset,
         nvars=nvars,
+        cls=cls,
+        wtab=wtab,
     )

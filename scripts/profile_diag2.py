@@ -123,32 +123,37 @@ def prep(c, i):
 marginal("prep (gathers/transposes/b_new)", prep)
 
 
-# --- parity kernel alone ------------------------------------------------------
+# --- parity kernel alone ([K, M, R] interface) -------------------------------
 def mk_inputs(i):
     ops = ops0._replace(bond=ops0.bond + (i >> 30))
+    on_tpu = jax.default_backend() == "tpu"
     u1 = jax.random.uniform(jax.random.key(i), (M, R))
     b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)
-    vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]
-    leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
-    tog = jnp.moveaxis(ops.inputs != ops.outputs, 0, -1) & leg_ok
-    v_idx = jnp.where(leg_ok, vars_all, N)
-    vq = model.bond_vars[b_new]
-    vq_s = jnp.where(vq >= 0, vq, 0)
+    sent = 16 * W
+    b_safe = jnp.maximum(ops.bond, 0)
+    bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, sent)
+    v_idx = jnp.stack(
+        [_diag._bond_fetch(bv_nn[:, k], b_safe, on_tpu) for k in range(K)]
+    )
+    vq = jnp.stack(
+        [_diag._bond_fetch(bv_nn[:, k], b_new, on_tpu) for k in range(K)]
+    )
+    tog = ops.inputs != ops.outputs
     st_pad = jnp.pad(
-        state0.astype(jnp.int32), ((0, 0), (0, 16 * W - N))
+        state0.astype(jnp.int32), ((0, 0), (0, sent - N))
     ).reshape(R, W, 16)
     state_w = jnp.sum(
         st_pad << jnp.arange(16, dtype=jnp.int32)[None, None, :], axis=-1
     )
-    return state_w, v_idx, tog, vq_s
+    return state_w, v_idx, tog, vq
 
 
 def kern(c, i):
     from isingmontecarlo_tpu.ops.parity_kernel import parity_bits
 
-    state_w, v_idx, tog, vq_s = mk_inputs(i)
+    state_w, v_idx, tog, vq = mk_inputs(i)
     pb, sb = parity_bits(
-        jnp.zeros((R, W), jnp.int32), state_w, v_idx, tog, vq_s,
+        jnp.zeros((R, W), jnp.int32), state_w, v_idx, tog, vq,
         interpret=jax.default_backend() != "tpu",
     )
     return c + jnp.sum(pb) + jnp.sum(sb)
@@ -180,6 +185,13 @@ b0 = jnp.minimum(
 si0 = jax.random.randint(jax.random.key(10), (M, R), 0, 1 << K)
 marginal("row_select diag_w [M,R]", lambda c, i: c + jnp.sum(
     row_select(model.diag_w, jnp.minimum(b0 ^ (i >> 30), NB - 1), si0)
+))
+_rows = jnp.arange(R, dtype=jnp.int32)
+marginal("class-table w [M,R] (take0 cls + chain)", lambda c, i: c + jnp.sum(
+    _diag._weight_lookup(
+        model, jnp.minimum(b0 ^ (i >> 30), NB - 1), si0, None, _rows,
+        jax.default_backend() == "tpu",
+    )
 ))
 
 # --- everything after the precompute (w_cur/si_cur + decisions) ---------------
