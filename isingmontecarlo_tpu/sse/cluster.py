@@ -42,8 +42,10 @@ import jax
 import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
-from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
-from isingmontecarlo_tpu.sse.tables import row_select, row_select3
+from isingmontecarlo_tpu.sse.opstring import OpString, op_vars, substate_index
+from isingmontecarlo_tpu.sse.tables import (
+    bond_fetch, class_select, fetch_xor, row_select, row_select3,
+)
 
 
 def is_valid_cluster_edge(is_constant, nvars):
@@ -335,11 +337,11 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
 
     valid_op = ops.bond >= 0  # [M, R]
     b = jnp.maximum(ops.bond, 0)
-    bv = model.bond_vars[b]  # [M, R, K]
-    arity = jnp.sum(bv >= 0, axis=-1)  # [M, R]
-    is_edge = model.is_constant[b] & (arity == 1) & valid_op  # cluster.rs:276-286
-
-    vars_kmr = jnp.where(valid_op[None], jnp.moveaxis(bv, -1, 0), -1)  # [K,M,R]
+    # Per-leg var / edge-flag fetches in lane-major layout (the [M, R, K]
+    # row-gather form pays 64x lane padding — see sse/tables.bond_fetch).
+    vars_kmr = op_vars(ops, model)  # [K, M, R]
+    edge_t = (model.is_constant & (model.arity() == 1)).astype(jnp.int32)
+    is_edge = (bond_fetch(edge_t, b) == 1) & valid_op  # cluster.rs:276-286
     leg_var = vars_kmr.reshape(KM, R)
     p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
     key = jnp.where(leg_var >= 0, leg_var * M + p_of_f[:, None], _SORT_BIG)
@@ -716,18 +718,29 @@ def _cluster_update_impl(
     si = substate_index(ops.inputs)  # [M, R]
     so = substate_index(ops.outputs)
     # flipped substate: toggle the valid legs' bits
-    arity = jnp.sum(model.bond_vars[b] >= 0, axis=-1)
+    arity = bond_fetch(model.arity(), b)
     legmask = (1 << arity) - 1  # int[M, R]
     if bond_xor is not None:
         # Per-replica sign patterns permute the weight-table columns (see
         # diagonal._xor_si); the stored spins stay physical, so only these
         # lookup indices shift (XOR commutes with the cluster's leg flip).
-        xm = bond_xor[jnp.arange(R, dtype=jnp.int32)[None, :], b]
+        xm = fetch_xor(bond_xor, b)
         si = si ^ xm
         so = so ^ xm
     fsi = si ^ legmask
     fso = so ^ legmask
-    if model.full_w is not None:
+    SS = 1 << K
+    use_full_cls = (
+        model.wtab_full is not None and model.wtab_full.size <= 64
+    )
+    if model.full_w is not None and use_full_cls:
+        # Class-table select chain replaces the [M, R, 2^2K] row gathers
+        # (lane-padded 8x; measured-equivalent diag_w row_select was
+        # 18.4 ms at [M~7000, R=512]); exact — selects original entries.
+        cls_f = bond_fetch(model.cls_full, b)
+        w_cur = class_select(model.wtab_full, cls_f, si * SS + so)
+        w_flip = class_select(model.wtab_full, cls_f, fsi * SS + fso)
+    elif model.full_w is not None:
         w_cur = row_select3(model.full_w, b, si, so)
         w_flip = row_select3(model.full_w, b, fsi, fso)
     else:
@@ -778,10 +791,7 @@ def _cluster_update_impl(
         label_cap=label_cap, edge_cap=edge_cap,
     )
 
-    legv = jnp.moveaxis(
-        jnp.where((ops.bond >= 0)[..., None], model.bond_vars[b], -1), -1, 0
-    )  # [K, M, R]
-    lv = legv >= 0
+    lv = op_vars(ops, model) >= 0  # [K, M, R]
     new_inputs = jnp.where(flip_in[None] & lv, ~ops.inputs, ops.inputs)
     new_outputs = jnp.where(flip_out[None] & lv, ~ops.outputs, ops.outputs)
     new_ops = OpString(bond=ops.bond, inputs=new_inputs, outputs=new_outputs)

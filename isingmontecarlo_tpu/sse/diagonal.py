@@ -34,6 +34,9 @@ import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, op_count
+from isingmontecarlo_tpu.sse.tables import bond_fetch as _bond_fetch
+from isingmontecarlo_tpu.sse.tables import class_select as _class_select
+from isingmontecarlo_tpu.sse.tables import fetch_xor as _fetch_xor
 from isingmontecarlo_tpu.sse.tables import row_select
 
 
@@ -81,49 +84,6 @@ def _xor_si(si, bond_xor, b, rows):
 # ``diag_w[b] -> [M, R, 2^K]`` puts 2^K on the lane axis (padded to 128 —
 # measured 18.4 ms per lookup at [M~7000, R=512] vs ~0.1 ms this way).
 _CLASS_MAX_CELLS = 64
-
-# take0 (ops/take_kernel.py) encodes table values in base-128 digit pairs.
-_TAKE0_MAX = 1 << 14
-
-
-def _bond_fetch(tab, idx, on_tpu):
-    """``tab[idx]`` for a per-bond int table ``tab i32[NB]`` (values in
-    ``[0, 2^14)``) and index grid ``idx i32[M, R]``. On TPU the per-lane
-    gather scalarizes (~0.3 GB/s — CLAUDE.md), so it rides the two-stage
-    digit-gather kernel instead."""
-    if on_tpu and tab.shape[0] <= _TAKE0_MAX:
-        from isingmontecarlo_tpu.ops.take_kernel import take0
-
-        t = jnp.broadcast_to(
-            tab.astype(jnp.int32)[:, None], (tab.shape[0], idx.shape[-1])
-        )
-        return take0(t, idx)
-    return tab[idx]
-
-
-def _fetch_xor(bond_xor, b, on_tpu):
-    """Per-replica sign-pattern mask ``bond_xor[r, b]`` for ``b i32[M, R]``
-    (see :func:`_xor_si`); per-replica table columns ride take0 natively."""
-    R, NB = bond_xor.shape
-    if on_tpu and NB <= _TAKE0_MAX:
-        from isingmontecarlo_tpu.ops.take_kernel import take0
-
-        return take0(bond_xor.T.astype(jnp.int32), b)
-    rows = jnp.arange(R, dtype=jnp.int32)
-    return bond_xor[rows.reshape((1,) * (b.ndim - 1) + (-1,)), b]
-
-
-def _class_select(wtab, cls_idx, si_idx):
-    """``wtab[cls, si]`` via a compare-select chain over the C*S cells —
-    exact (selects original f32 entries), gather-free, lane-parallel."""
-    C, S = wtab.shape
-    flat = wtab.reshape(-1)
-    code = cls_idx * S + si_idx
-    out = jnp.broadcast_to(flat[0], code.shape)
-    for j in range(1, C * S):
-        out = jnp.where(code == j, flat[j], out)
-    return out
-
 
 def _use_class_tables(model) -> bool:
     return (
@@ -274,10 +234,12 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
         b_safe = jnp.maximum(ops.bond, 0)
         bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, sent)
         v_idx = jnp.stack(
-            [_bond_fetch(bv_nn[:, k], b_safe, kern_tpu) for k in range(K)]
+            [_bond_fetch(bv_nn[:, k], b_safe, kern_tpu, vmax=sent)
+             for k in range(K)]
         )  # [K, M, R]
         vq = jnp.stack(
-            [_bond_fetch(bv_nn[:, k], b_new, kern_tpu) for k in range(K)]
+            [_bond_fetch(bv_nn[:, k], b_new, kern_tpu, vmax=sent)
+             for k in range(K)]
         )
         # Identity slots fetch bond 0's vars, but their toggles are
         # all-False (identity ops have inputs == outputs == False), so no

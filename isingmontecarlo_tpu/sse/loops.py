@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
+from isingmontecarlo_tpu.sse.tables import bond_fetch
 from isingmontecarlo_tpu.sse.opstring import OpString, op_count, substate_index
 
 _BIG = jnp.int32(2**30)
@@ -90,7 +91,7 @@ def loop_update(
 
     wnext, wprev, leg_var = _worldline_next_prev(ops, model)
     b_safe = jnp.maximum(ops.bond, 0)
-    arity = jnp.sum(model.bond_vars[b_safe] >= 0, axis=-1)  # [M, R]
+    arity = bond_fetch(model.arity(), b_safe)  # [M, R]
 
     si0 = substate_index(ops.inputs)  # i32[M, R]
     so0 = substate_index(ops.outputs)

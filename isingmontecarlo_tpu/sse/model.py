@@ -37,7 +37,7 @@ class BondModel:
     """
 
     def __init__(self, bond_vars, is_constant, diag_w, full_w, offset, nvars,
-                 cls=None, wtab=None):
+                 cls=None, wtab=None, cls_full=None, wtab_full=None):
         self.bond_vars = bond_vars  # i32[NB, K], -1 pads unused legs
         self.is_constant = is_constant  # bool[NB] (op_container.rs:90-93)
         self.diag_w = diag_w  # f32[NB, 2^K]
@@ -53,18 +53,25 @@ class BondModel:
         # measured 18 ms per lookup at [M~7000, R=512] vs ~0.1 ms this way).
         self.cls = cls
         self.wtab = wtab
+        # Same factorization over flattened ``full_w`` rows (cluster/loop
+        # updates look up ``full_w[b, si, so]``).
+        self.cls_full = cls_full
+        self.wtab_full = wtab_full  # f32[C2, 2^K * 2^K]
 
     def tree_flatten(self):
         children = (self.bond_vars, self.is_constant, self.diag_w,
-                    self.full_w, self.cls, self.wtab)
+                    self.full_w, self.cls, self.wtab, self.cls_full,
+                    self.wtab_full)
         return children, (self.offset, self.nvars)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bond_vars, is_constant, diag_w, full_w, bcls, wtab = children
+        (bond_vars, is_constant, diag_w, full_w, bcls, wtab, cls_full,
+         wtab_full) = children
         offset, nvars = aux
         return cls(bond_vars, is_constant, diag_w, full_w, offset, nvars,
-                   cls=bcls, wtab=wtab)
+                   cls=bcls, wtab=wtab, cls_full=cls_full,
+                   wtab_full=wtab_full)
 
     @property
     def nbonds(self) -> int:
@@ -165,6 +172,7 @@ def tfim_model(
     )
 
     cls, wtab = class_tables(diag_w)
+    cls_full, wtab_full = class_tables(full_w.reshape(len(full_w), -1))
     return BondModel(
         bond_vars=jnp.asarray(bond_vars),
         is_constant=jnp.asarray(is_constant),
@@ -174,6 +182,8 @@ def tfim_model(
         nvars=nvars,
         cls=cls,
         wtab=wtab,
+        cls_full=cls_full,
+        wtab_full=wtab_full,
     )
 
 
@@ -240,6 +250,7 @@ def generic_model(
             is_constant[b] = bool(np.all(np.abs(mat - mat.flat[0]) < 1e-12))
 
     cls, wtab = class_tables(diag_w)
+    cls_full, wtab_full = class_tables(full_w.reshape(len(full_w), -1))
     return BondModel(
         bond_vars=jnp.asarray(bond_vars),
         is_constant=jnp.asarray(is_constant),
@@ -249,4 +260,6 @@ def generic_model(
         nvars=nvars,
         cls=cls,
         wtab=wtab,
+        cls_full=cls_full,
+        wtab_full=wtab_full,
     )

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
+from isingmontecarlo_tpu.sse.tables import bond_fetch
 
 
 class OpString(NamedTuple):
@@ -114,16 +115,22 @@ def bond_counts(ops: OpString, nbonds: int) -> jax.Array:
 
 def leg_valid(ops: OpString, model: BondModel) -> jax.Array:
     """bool[K, M, R]: leg slot has a real variable."""
-    b = jnp.maximum(ops.bond, 0)
-    vars_ = model.bond_vars[b]  # [M, R, K]
-    return jnp.moveaxis(vars_ >= 0, -1, 0) & (ops.bond >= 0)[None]
+    return op_vars(ops, model) >= 0
 
 
 def op_vars(ops: OpString, model: BondModel) -> jax.Array:
-    """i32[K, M, R]: variable per leg (−1 where invalid)."""
+    """i32[K, M, R]: variable per leg (−1 where invalid).
+
+    Built from per-leg take0 fetches in the [K, M, R] lane-major layout: the
+    ``bond_vars[b] -> [M, R, K]`` row-gather form pays the 64x lane padding
+    of a K-minor tiling (see ``sse/tables.bond_fetch``)."""
+    N = model.nvars
     b = jnp.maximum(ops.bond, 0)
-    vars_ = jnp.moveaxis(model.bond_vars[b], -1, 0)
-    return jnp.where((ops.bond >= 0)[None], vars_, -1)
+    bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, N)
+    v = jnp.stack(
+        [bond_fetch(bv_nn[:, k], b, vmax=N) for k in range(model.max_legs)]
+    )  # [K, M, R]
+    return jnp.where((ops.bond >= 0)[None] & (v < N), v, -1)
 
 
 def _seg_broadcast(flags, vals, reverse: bool = False):

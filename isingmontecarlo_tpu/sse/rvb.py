@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from isingmontecarlo_tpu.sse.model import BondModel
+from isingmontecarlo_tpu.sse.tables import bond_fetch
 from isingmontecarlo_tpu.sse.opstring import OpString, substate_index
 
 _BIG = jnp.int32(2**30)
@@ -178,8 +179,14 @@ def _const_inventory(ops: OpString, model: BondModel):
     M, R = ops.bond.shape
     b = jnp.maximum(ops.bond, 0)
     occupied = ops.bond >= 0
-    is_const = model.is_constant[b] & occupied  # [M, R]
-    var0 = model.bond_vars[b, 0]  # [M, R] constant ops are single-var
+    # take0 fetches: the per-lane [M, R] gathers from [NB] tables
+    # scalarize on TPU (~0.3 GB/s — sse/tables.bond_fetch).
+    is_const = (
+        bond_fetch(model.is_constant.astype(jnp.int32), b) == 1
+    ) & occupied  # [M, R]
+    var0 = bond_fetch(
+        jnp.maximum(model.bond_vars[:, 0], 0), b, vmax=model.nvars
+    )  # [M, R] constant ops are single-var
     p_idx = jnp.arange(M, dtype=jnp.int32)[:, None]
 
     key = jnp.where(is_const, var0 * M + p_idx, _BIG)

@@ -13,7 +13,66 @@ entries), backend-agnostic, and the select chain is cheap elementwise work
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# take0 (ops/take_kernel.py) encodes table values in base-128 digit pairs.
+_TAKE0_MAX = 1 << 14
+
+
+def bond_fetch(tab: jnp.ndarray, idx: jnp.ndarray, on_tpu: bool | None = None,
+               vmax: int | None = None):
+    """``tab[idx]`` for a small per-bond int table ``tab[NB]`` (values in
+    ``[0, 2^14)``) and a per-lane index grid ``idx i32[E, R]``. On TPU the
+    per-lane gather scalarizes (~0.3 GB/s — CLAUDE.md), so it rides the
+    two-stage digit-gather kernel (``ops/take_kernel.take0``) instead; the
+    row-gather alternative ``tab2d[idx] -> [E, R, cols]`` puts ``cols`` on
+    the VPU lane axis (padded to 128), measured 18.6 ms per [M~7000, R=512]
+    prep vs ~0.1 ms per take0 call."""
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    if (
+        on_tpu
+        and tab.shape[0] <= _TAKE0_MAX
+        and (vmax is None or vmax < _TAKE0_MAX)
+    ):
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        t = jnp.broadcast_to(
+            tab.astype(jnp.int32)[:, None], (tab.shape[0], idx.shape[-1])
+        )
+        return take0(t, idx)
+    return tab.astype(jnp.int32)[idx]
+
+
+def fetch_xor(bond_xor: jnp.ndarray, b: jnp.ndarray,
+              on_tpu: bool | None = None):
+    """Per-replica sign-pattern mask ``bond_xor[r, b[.., r]]`` for a
+    ``[R, NB]`` table and ``b i32[M, R]`` (see ``diagonal._xor_si``);
+    per-replica table columns ride take0 natively."""
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    R, NB = bond_xor.shape
+    if on_tpu and NB <= _TAKE0_MAX:
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        return take0(bond_xor.T.astype(jnp.int32), b)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    return bond_xor[rows.reshape((1,) * (b.ndim - 1) + (-1,)), b]
+
+
+def class_select(wtab: jnp.ndarray, cls_idx: jnp.ndarray,
+                 col_idx: jnp.ndarray):
+    """``wtab[cls, col]`` via a compare-select chain over the C*S cells —
+    exact (selects original f32 entries), gather-free, lane-parallel. Only
+    worthwhile for small tables; callers gate on ``wtab.size``."""
+    C, S = wtab.shape
+    flat = wtab.reshape(-1)
+    code = cls_idx * S + col_idx
+    out = jnp.broadcast_to(flat[0], code.shape)
+    for j in range(1, C * S):
+        out = jnp.where(code == j, flat[j], out)
+    return out
 
 # Above this many columns the where-chain costs more than the scalarized
 # gather it replaces; fall back to direct indexing.
