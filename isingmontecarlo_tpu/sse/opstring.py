@@ -293,17 +293,24 @@ def log_weight_delta(
     (``tempering_traits.rs:163-196``). Returns ``(delta f32[R], blocked
     bool[R])``; ``blocked`` marks replicas whose string has zero weight
     under label b (swap impossible — matches the reference returning 0)."""
-    from isingmontecarlo_tpu.sse.tables import row_select, row_select3
+    from isingmontecarlo_tpu.sse.tables import (
+        class_select, fetch_xor, row_select, row_select3,
+    )
 
     b = jnp.maximum(ops.bond, 0)
     occupied = ops.bond >= 0
     si = substate_index(ops.inputs)
     so = substate_index(ops.outputs)
     rows = jnp.arange(ops.replicas, dtype=jnp.int32)[None, :]
+    SS = 1 << ops.max_legs
+    use_cls = model.wtab_full is not None and model.wtab_full.size <= 64
+    cls_f = bond_fetch(model.cls_full, b) if use_cls else None
 
     def w_under(xor):
-        x = xor[rows, b]  # [M, R]
-        if model.full_w is not None:
+        x = fetch_xor(xor, b)  # [M, R]
+        if model.full_w is not None and use_cls:
+            w = class_select(model.wtab_full, cls_f, (si ^ x) * SS + (so ^ x))
+        elif model.full_w is not None:
             w = row_select3(model.full_w, b, si ^ x, so ^ x)
         else:
             w = jnp.where(si == so, row_select(model.diag_w, b, si ^ x), 0.0)
