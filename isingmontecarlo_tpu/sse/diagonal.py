@@ -141,11 +141,14 @@ _SPEC_MIN_M = 2048
 # The carry scan can run as a Pallas kernel (ops/diag_carry.py): the n carry
 # lives in VMEM scratch and each slot costs a few VPU ops, with no
 # speculative-window fallback. Test hook: True forces the kernel (in
-# interpreter mode off-TPU), False forces it off; None = auto — currently
-# OFF pending first validation + timing on real TPU hardware (set the
-# ISING_DIAG_KERNEL=1 env var or this hook to enable).
+# interpreter mode off-TPU), False forces it off; None = auto — ON for
+# R >= _CARRY_KERNEL_MIN_R on TPU: measured 2026-08-21 at 32^2 R=512 (new
+# lane-major precompute) the kernel runs the full diagonal update in 9.5 ms
+# vs 14.7 spec / 12.8 sequential. At R = 64 the spec path had won the
+# round-2 A/B, so small batches keep it. ISING_DIAG_KERNEL=0/1 overrides.
 _FORCE_CARRY_KERNEL = None
-_KERNEL_DEFAULT = os.environ.get("ISING_DIAG_KERNEL", "") == "1"
+_KERNEL_ENV = os.environ.get("ISING_DIAG_KERNEL", "")
+_CARRY_KERNEL_MIN_R = 256
 
 # The flip-parity precompute can likewise run as a Pallas kernel
 # (ops/parity_kernel.py): the XOR word carry lives in VMEM and word
@@ -576,11 +579,14 @@ def _diagonal_update_fast(
         xs = (u[0], is_ident, is_diag, ins_w)
     else:
         xs = (u[0], is_ident, is_diag, num_ins, num_rem)
-    use_kernel = (
-        _FORCE_CARRY_KERNEL
-        if _FORCE_CARRY_KERNEL is not None
-        else _KERNEL_DEFAULT and jax.default_backend() == "tpu"
-    )
+    if _FORCE_CARRY_KERNEL is not None:
+        use_kernel = _FORCE_CARRY_KERNEL
+    elif _KERNEL_ENV in ("0", "1"):
+        use_kernel = _KERNEL_ENV == "1" and jax.default_backend() == "tpu"
+    else:
+        use_kernel = (
+            jax.default_backend() == "tpu" and R >= _CARRY_KERNEL_MIN_R
+        )
     if use_kernel:
         from isingmontecarlo_tpu.ops.diag_carry import carry_decisions
 

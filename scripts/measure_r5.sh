@@ -46,6 +46,7 @@ run() { # run <name> <timeout_s> <cmd...> — skips completed steps
 run time_rvb_ab 3000 python scripts/time_rvb.py 64 4 6
 run profile_diag2_r512 3600 python scripts/profile_diag2.py 32 512
 run profile_diag_rerun 3600 python scripts/profile_diag.py 32 512
+run profile_diag_r64 3600 python scripts/profile_diag.py 32 64
 run profile_cluster_r512 3600 python scripts/profile_cluster.py 32 512
 run profile_prep_r512 3600 python scripts/profile_prep.py 32 512
 run ess32_k6_r512_long 3000 python scripts/ess32.py 32 512 40 6 8

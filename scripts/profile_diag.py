@@ -97,8 +97,11 @@ def pw_body(c, i):
     return c + jnp.sum(b_new) + jnp.sum(w_new)
 
 
-# --- default (spec window 128) ----------------------------------------------
-marginal("diag spec W=128 (default)", diag_body)
+# --- spec window 128 (forced: the auto gate picks the carry kernel at
+# R >= 256 since 2026-08-21) --------------------------------------------------
+_diag._FORCE_CARRY_KERNEL = False
+jax.clear_caches()
+marginal("diag spec W=128", diag_body)
 marginal("  _parallel_weights alone", pw_body)
 
 # --- Pallas carry kernel ------------------------------------------------------
@@ -119,4 +122,5 @@ _diag._SPEC_MIN_M = 1 << 30
 jax.clear_caches()
 marginal("diag sequential scan", diag_body)
 _diag._SPEC_MIN_M = 2048
+_diag._FORCE_CARRY_KERNEL = None
 print("done")
