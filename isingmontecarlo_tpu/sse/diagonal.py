@@ -141,14 +141,15 @@ _SPEC_MIN_M = 2048
 # The carry scan can run as a Pallas kernel (ops/diag_carry.py): the n carry
 # lives in VMEM scratch and each slot costs a few VPU ops, with no
 # speculative-window fallback. Test hook: True forces the kernel (in
-# interpreter mode off-TPU), False forces it off; None = auto — ON for
-# R >= _CARRY_KERNEL_MIN_R on TPU: measured 2026-08-21 at 32^2 R=512 (new
-# lane-major precompute) the kernel runs the full diagonal update in 9.5 ms
-# vs 14.7 spec / 12.8 sequential. At R = 64 the spec path had won the
-# round-2 A/B, so small batches keep it. ISING_DIAG_KERNEL=0/1 overrides.
+# interpreter mode off-TPU), False forces it off; None = auto — ON on TPU:
+# measured 2026-08-21 at 32^2 with the lane-major precompute the kernel
+# runs the full diagonal update in 9.5 ms vs 14.7 spec / 12.8 sequential
+# at R=512, and 1.60 vs 2.64 spec / 1.92 sequential at R=64 (the round-2
+# "kernel loses at R=64" verdict was an artifact of the old 28 ms
+# precompute masking the carry stage). ISING_DIAG_KERNEL=0/1 overrides.
 _FORCE_CARRY_KERNEL = None
 _KERNEL_ENV = os.environ.get("ISING_DIAG_KERNEL", "")
-_CARRY_KERNEL_MIN_R = 256
+_CARRY_KERNEL_MIN_R = 0
 
 # The flip-parity precompute can likewise run as a Pallas kernel
 # (ops/parity_kernel.py): the XOR word carry lives in VMEM and word
