@@ -179,59 +179,16 @@ def _mm_root_stats(logr, frozen, idx, SL: int, chunk=128):
     return acc_logr, acc_frozen
 
 
-def _sort_root_stats(logr, frozen, idx, SL: int):
-    """Per-root ``(segment-sum of logr, segment-any of frozen)`` keyed by
-    ``idx`` via sorted segmented reduction — the O(M log M) alternative to
-    :func:`_mm_root_stats`, whose one-hot einsum costs ``M x SL x R`` MXU
-    MACs and grows quadratically with the benchmark size (at the 32^2
-    R=512 shapes that is tens of bf16 TFLOPs per call).
-
-    The identity-row trick of :func:`_scatter_min_rows`: one zero-
-    contribution row per label is appended so every label group is
-    non-empty, a 3-operand sort groups by label, a segmented scan leaves
-    each group's totals on its tail row, and — because exactly ``SL`` tails
-    exist, in ascending label order — a second sort packing tails to the
-    front lands label ``s``'s totals at row ``s``. No scatter, no one-hot.
-    Sums are plain f32 adds in sorted order (the same reordering error
-    class as the per-lane scatter-add; tighter than the bf16-split
-    einsum)."""
-    Mrows, R = idx.shape
-    iota_s = jnp.broadcast_to(
-        jnp.arange(SL, dtype=jnp.int32)[:, None], (SL, R)
-    )
-    keys = jnp.concatenate([idx, iota_s], axis=0)
-    vl = jnp.concatenate([logr, jnp.zeros((SL, R), jnp.float32)], axis=0)
-    vf = jnp.concatenate(
-        [frozen.astype(jnp.int32), jnp.zeros((SL, R), jnp.int32)], axis=0
-    )
-    sk, sl_, sf = jax.lax.sort((keys, vl, vf), dimension=0, num_keys=1)
-    gstart = jnp.concatenate(
-        [jnp.ones((1, R), bool), sk[1:] != sk[:-1]], axis=0
-    )
-    gend = jnp.concatenate(
-        [sk[:-1] != sk[1:], jnp.ones((1, R), bool)], axis=0
-    )
-
-    def comb(a, b):
-        fa, la, ca = a
-        fb, lb, cb = b
-        return fa | fb, jnp.where(fb, lb, la + lb), jnp.where(fb, cb, ca | cb)
-
-    _, run_l, run_f = jax.lax.associative_scan(
-        comb, (gstart, sl_, sf != 0), axis=0
-    )
-    k2 = jnp.where(gend, sk, _SORT_BIG)
-    _, acc_l, acc_f = jax.lax.sort(
-        (k2, run_l, run_f.astype(jnp.int32)), dimension=0, num_keys=1
-    )
-    return acc_l[:SL], acc_f[:SL] != 0
-
-
-# Root-stats reduction algorithm: "mm" (MXU one-hot einsum), "sort"
-# (sorted segmented reduction), "scatter" (native per-lane scatter), or
-# "auto" (mm on TPU under the label-space gate, scatter otherwise — the
-# round-1 hardware-validated default). _FORCE_ROOT_STATS is the
-# test/profile hook; the ISING_ROOT_STATS env var sets the default.
+# Root-stats reduction algorithm: "mm" (MXU one-hot einsum), "scatter"
+# (native per-lane scatter), or "auto" (mm on TPU under the label-space
+# gate, scatter otherwise — the round-1 hardware-validated default; the mm
+# einsum measured 11.8 ms at 32^2 R=512). A sorted-segmented-reduction
+# alternative was built in round 2 and DELETED in round 3: at the 32^2
+# R=512 production shape its profile row never completed inside a 55-min
+# budget (pathological XLA lowering of the tuple-carry segmented scan),
+# while mm runs in 11.8 ms — see MEASUREMENTS_r3.md and git history.
+# _FORCE_ROOT_STATS is the test/profile hook; ISING_ROOT_STATS env var
+# sets the default.
 _ROOT_STATS_DEFAULT = os.environ.get("ISING_ROOT_STATS", "auto")
 _FORCE_ROOT_STATS = None
 
@@ -786,8 +743,6 @@ def _cluster_update_impl(
             )
         if algo == "mm":
             acc_logr, acc_frozen = _mm_root_stats(logr, frozen, lab_in, SL)
-        elif algo == "sort":
-            acc_logr, acc_frozen = _sort_root_stats(logr, frozen, lab_in, SL)
         else:
             acc_logr = (
                 jnp.zeros((SL, R), jnp.float32).at[lab_in, rows_m].add(logr)

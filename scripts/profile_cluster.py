@@ -159,7 +159,6 @@ def _rs(fn):
 
 
 marginal("root-stats mm (einsum)", _rs(_cluster._mm_root_stats))
-marginal("root-stats sort", _rs(_cluster._sort_root_stats))
 marginal(
     "root-stats scatter",
     _rs(

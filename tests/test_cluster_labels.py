@@ -148,54 +148,6 @@ def test_mm_root_stats_matches_scatter():
     assert np.max(np.abs(np.asarray(acc_logr) - ref_logr) / scale) < 1e-4
 
 
-def test_sort_root_stats_matches_scatter():
-    """The sorted segmented reduction (``_sort_root_stats``) must match the
-    per-lane scatters: frozen exactly, log-ratio sums to f32 reordering
-    accuracy."""
-    rng = np.random.default_rng(3)
-    M, R, SL = 257, 5, 37
-    logr = jnp.asarray(
-        rng.normal(size=(M, R)).astype(np.float32)
-        * rng.choice([0.0, 1.0, 70.0], size=(M, R)).astype(np.float32)
-    )
-    frozen = jnp.asarray(rng.random((M, R)) < 0.1)
-    idx = jnp.asarray(rng.integers(0, SL, size=(M, R)).astype(np.int32))
-
-    acc_logr, acc_frozen = _cluster._sort_root_stats(logr, frozen, idx, SL)
-
-    rows = np.broadcast_to(np.arange(R)[None, :], (M, R))
-    ref_logr = np.zeros((SL, R), np.float32)
-    np.add.at(ref_logr, (np.asarray(idx), rows), np.asarray(logr))
-    ref_frozen = np.zeros((SL, R), bool)
-    np.maximum.at(ref_frozen, (np.asarray(idx), rows), np.asarray(frozen))
-
-    assert np.array_equal(np.asarray(acc_frozen), ref_frozen)
-    scale = np.maximum(np.abs(ref_logr), 1.0)
-    assert np.allclose(np.asarray(acc_logr), ref_logr, atol=0), "nan/inf"
-    assert np.max(np.abs(np.asarray(acc_logr) - ref_logr) / scale) < 1e-4
-
-
-def test_cluster_update_sort_stats_chain(monkeypatch):
-    """Forcing the sort root-stats path through a real ``cluster_update``
-    must keep the worldline oracle green."""
-    monkeypatch.setattr(_cluster, "_FORCE_ROOT_STATS", "sort")
-    edges = lattice.frustrated_square(3, 3)
-    g = QmcIsingGraph(
-        edges, transverse=1.0, longitudinal=0.4, replicas=4, seed=13
-    )
-    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.5), g.model, 8)
-    g._maybe_grow()
-    ops, state = g.sse.ops, g.sse.state
-    import jax
-
-    new_ops, new_state = _cluster.cluster_update(
-        ops, state, jax.random.key(5), g.model
-    )
-    from isingmontecarlo_tpu.sse.opstring import verify
-
-    assert bool(jnp.all(verify(new_ops, new_state, g.model)))
-
-
 def test_cluster_update_mm_stats_chain(monkeypatch):
     """Forcing the MXU root-stats path through a real ``cluster_update``
     must keep the worldline oracle green (the path changes acceptance
