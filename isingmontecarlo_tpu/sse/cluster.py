@@ -578,7 +578,12 @@ def _use_sort_scatter() -> bool:
 # 201 ms vs 15 ms for the hook fixpoint at 32^2 — many more rounds than
 # hook-and-compress and each round still pays three [*, R] gathers. Deleted
 # per that measurement (round-2 VERDICT Next #3); see git history.
-def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
+# Pointer-jump count per hook round (see _hook_compress_labels); module
+# tunable so profiles can scan it (scripts/tune_hook.py).
+_N_COMPRESS = 2
+
+
+def _hook_compress_labels(u, v, S: int, n_compress: int | None = None):
     """Connected components over the (fixed) segment edge list by
     hook-and-compress (the bulk-synchronous union-find family of
     Shiloach-Vishkin / GPU CC kernels, cf. arXiv:2302.14720): each round
@@ -594,15 +599,14 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
     necessarily the component minimum — callers only use label equality).
     Gathers ride the MXU one-hot path (``_take0_fast``); the contraction
     keeps ``S`` under its breakeven at reference benchmark sizes."""
+    if n_compress is None:
+        n_compress = _N_COMPRESS
     E, R = u.shape
     cols = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (E, R))
     P0 = jnp.tile(jnp.arange(S, dtype=jnp.int32)[:, None], (1, R))
     sort_scatter = _use_sort_scatter()
 
-    def body(state):
-        P, _ = state
-        pu = _take0_fast(P, u)
-        pv = _take0_fast(P, v)
+    def hook(P, pu, pv):
         m = jnp.minimum(pu, pv)
         mx = jnp.maximum(pu, pv)
         if sort_scatter:
@@ -611,9 +615,19 @@ def _hook_compress_labels(u, v, S: int, n_compress: int = 2):
             Pn = P.at[mx, cols].min(m)
         for _ in range(n_compress):
             Pn = _take0_fast(Pn, Pn)
+        return Pn
+
+    def body(state):
+        P, _ = state
+        Pn = hook(P, _take0_fast(P, u), _take0_fast(P, v))
         return Pn, jnp.any(Pn != P)
 
-    P, _ = jax.lax.while_loop(lambda s: s[1], body, (P0, jnp.asarray(True)))
+    # Round 1 specialized: P0 is the identity, so the endpoint-label
+    # gathers are just (u, v) — two [E, R] take0 passes saved.
+    P1 = hook(P0, u, v)
+    P, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (P1, jnp.any(P1 != P0))
+    )
     return P
 
 
