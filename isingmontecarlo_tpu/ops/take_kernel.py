@@ -54,22 +54,25 @@ _RB = 64
 _MAX_C = 1 << 14  # base-128 digit pair covers values/row counts < 2^14
 
 
-def _kernel(H: int, idx_ref, rhs_ref, out_ref):
+def _kernel(H: int, D: int, idx_ref, rhs_ref, out_ref):
     RB = idx_ref.shape[0]
     TE = idx_ref.shape[1]
-    HD = rhs_ref.shape[1]  # 2H padded to a sublane tile multiple
+    HD = rhs_ref.shape[1]  # D*H padded to a sublane tile multiple
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, TE), 0)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (HD, TE), 0)
-    w = jnp.where(s_iota % 2 == 0, 128.0, 1.0).astype(jnp.float32)
-    valid_s = s_iota < 2 * H
+    # Row D*h + d holds digit d (most significant first): weight 128^(D-1-d).
+    w = jnp.power(
+        jnp.float32(128.0), (D - 1 - s_iota % D).astype(jnp.float32)
+    )
+    valid_s = s_iota < D * H
 
     def body(r, _):
         ids = idx_ref[pl.ds(r, 1), :]  # [1, TE] i32
         oh = (ids % 128 == iota_l).astype(jnp.bfloat16)  # [128, TE]
         rhs = rhs_ref[pl.ds(r, 1)].reshape(HD, 128)  # [HD, 128] bf16
         tmp = jnp.dot(rhs, oh, preferred_element_type=jnp.float32)
-        sel = (ids // 128 == (s_iota >> 1)) & valid_s  # [HD, TE]
+        sel = (ids // 128 == (s_iota // D)) & valid_s  # [HD, TE]
         val = jnp.sum(jnp.where(sel, tmp * w, 0.0), axis=0, keepdims=True)
         out_ref[pl.ds(r, 1), :] = val.astype(jnp.int32)
         return 0
@@ -77,32 +80,42 @@ def _kernel(H: int, idx_ref, rhs_ref, out_ref):
     jax.lax.fori_loop(0, RB, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def take0(table: jax.Array, idx: jax.Array, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "digits"))
+def take0(table: jax.Array, idx: jax.Array, *, interpret: bool = False,
+          digits: int = 2):
     """``jnp.take_along_axis(table, idx, axis=0)`` for ``table i32[C, R]``
-    and per-replica index grid ``idx i32[E, R]``; exact for values and row
-    counts in ``[0, 2^14)``. See module docstring for the layout."""
+    and per-replica index grid ``idx i32[E, R]``; exact for row counts in
+    ``[0, 2^14)`` and values in ``[0, min(128^digits, 2^24))`` (the digit
+    recombination is an f32 sum, exact for integers below 2^24 — callers
+    with ``digits=4`` must keep values under 2^24, not 128^4). Extra digits
+    let callers pack several small tables into one gather (see
+    ``sse/tables.bond_fetch_multi``). See module docstring for the layout."""
     C, R = table.shape
     E = idx.shape[0]
+    D = digits
     assert idx.shape[1] == R
     assert C <= _MAX_C, "base-128 digit planes need row count < 2^14"
+    assert 1 <= D <= 4, "f32 digit recombination is exact below 2^24 only"
 
     H = -(-C // 128)
-    HD = -(-(2 * H) // 16) * 16  # bf16 sublane tile multiple
+    HD = -(-(D * H) // 16) * 16  # bf16 sublane tile multiple
     Rp = -(-R // _RB) * _RB
     Ep = -(-E // _TE) * _TE
 
     t = table.astype(jnp.int32)
     t = jnp.pad(t, ((0, H * 128 - C), (0, Rp - R)))
-    # rhs[r, 2h, l] = table[h*128+l, r] // 128 ; rhs[r, 2h+1, l] = ... % 128
+    # rhs[r, D*h + d, l] = d-th base-128 digit (MSB first) of
+    # table[h*128+l, r].
     t = t.T.reshape(Rp, H, 128)
-    rhs = jnp.stack([t // 128, t % 128], axis=2).reshape(Rp, 2 * H, 128)
-    rhs = jnp.pad(rhs, ((0, 0), (0, HD - 2 * H), (0, 0))).astype(jnp.bfloat16)
+    rhs = jnp.stack(
+        [(t // (128 ** (D - 1 - d))) % 128 for d in range(D)], axis=2
+    ).reshape(Rp, D * H, 128)
+    rhs = jnp.pad(rhs, ((0, 0), (0, HD - D * H), (0, 0))).astype(jnp.bfloat16)
 
     idxT = jnp.pad(idx.astype(jnp.int32).T, ((0, Rp - R), (0, Ep - E)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, H),
+        functools.partial(_kernel, H, D),
         grid=(Rp // _RB, Ep // _TE),
         in_specs=[
             pl.BlockSpec((_RB, _TE), lambda i, j: (i, j),

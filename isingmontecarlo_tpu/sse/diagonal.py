@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from isingmontecarlo_tpu.sse.model import BondModel
 from isingmontecarlo_tpu.sse.opstring import OpString, op_count
 from isingmontecarlo_tpu.sse.tables import bond_fetch as _bond_fetch
+from isingmontecarlo_tpu.sse.tables import bond_fetch_multi
 from isingmontecarlo_tpu.sse.tables import class_select as _class_select
 from isingmontecarlo_tpu.sse.tables import fetch_xor as _fetch_xor
 from isingmontecarlo_tpu.sse.tables import row_select
@@ -237,14 +238,20 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
         sent = 16 * W
         b_safe = jnp.maximum(ops.bond, 0)
         bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, sent)
-        v_idx = jnp.stack(
-            [_bond_fetch(bv_nn[:, k], b_safe, kern_tpu, vmax=sent)
-             for k in range(K)]
-        )  # [K, M, R]
-        vq = jnp.stack(
-            [_bond_fetch(bv_nn[:, k], b_new, kern_tpu, vmax=sent)
-             for k in range(K)]
-        )
+        # One packed take0 per index grid: the K leg tables (and the weight
+        # class, when the model factorizes) ride a single gather — per-call
+        # cost at these shapes is dispatch-bound (~1.6 ms), so packing is
+        # ~K-fold cheaper than K calls (bond_fetch_multi).
+        cls_ok = _use_class_tables(model)
+        leg_tabs = [bv_nn[:, k] for k in range(K)]
+        leg_vmaxs = [sent] * K
+        if cls_ok:
+            leg_tabs.append(model.cls)
+            leg_vmaxs.append(int(model.wtab.shape[0]) - 1)
+        got_cur = bond_fetch_multi(leg_tabs, b_safe, leg_vmaxs, kern_tpu)
+        got_new = bond_fetch_multi(leg_tabs, b_new, leg_vmaxs, kern_tpu)
+        v_idx = jnp.stack(got_cur[:K])  # [K, M, R]
+        vq = jnp.stack(got_new[:K])
         # Identity slots fetch bond 0's vars, but their toggles are
         # all-False (identity ops have inputs == outputs == False), so no
         # bond >= 0 mask is needed; pad legs carry the sentinel.
@@ -266,8 +273,28 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
             * (1 << jnp.arange(K, dtype=jnp.int32))[:, None, None],
             axis=0,
         )  # [M, R]
-        w_new = _weight_lookup(model, b_new, si_new, bond_xor, rows, kern_tpu)
-        return b_new, bits_new, w_new  # bits [K, M, R]
+        if cls_ok:
+            # w_cur rides the same fetched classes — the caller's separate
+            # lookup (and the heat-bath max) reuse them via ``extras``.
+            si_cur = jnp.sum(
+                ops.inputs.astype(jnp.int32)
+                * (1 << jnp.arange(K, dtype=jnp.int32))[:, None, None],
+                axis=0,
+            )
+            if bond_xor is not None:
+                si_new = si_new ^ _fetch_xor(bond_xor, b_new, kern_tpu)
+                si_cur = si_cur ^ _fetch_xor(bond_xor, b_safe, kern_tpu)
+            w_new = _class_select(model.wtab, got_new[K], si_new)
+            extras = {
+                "w_cur": _class_select(model.wtab, got_cur[K], si_cur),
+                "cls_new": got_new[K],
+            }
+        else:
+            w_new = _weight_lookup(
+                model, b_new, si_new, bond_xor, rows, kern_tpu
+            )
+            extras = {}
+        return b_new, bits_new, w_new, extras  # bits [K, M, R]
 
     vars_all = model.bond_vars[jnp.maximum(ops.bond, 0)]  # [M, R, K]
     leg_ok = (vars_all >= 0) & (ops.bond >= 0)[..., None]
@@ -388,7 +415,7 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
         model, b_new, si_new, bond_xor, rows,
         jax.default_backend() == "tpu",
     )
-    return b_new, jnp.moveaxis(bits_new, -1, 0), w_new  # bits [K, M, R]
+    return b_new, jnp.moveaxis(bits_new, -1, 0), w_new, {}  # bits [K, M, R]
 
 
 def _ins_rem(n, u0, idp, dgp, *extra, M, heatbath, bw_tot):
@@ -529,7 +556,7 @@ def _diagonal_update_fast(
 
     u = jax.random.uniform(key, (3, M, R))
     n0 = op_count(ops)
-    b_new, bits_new, w_new = _parallel_weights(
+    b_new, bits_new, w_new, _pw_extras = _parallel_weights(
         ops, state, u[1], model, hb, heatbath, bond_xor=bond_xor
     )
 
@@ -542,7 +569,9 @@ def _diagonal_update_fast(
         axis=0,
     )
     on_tpu = jax.default_backend() == "tpu"
-    w_cur = _weight_lookup(model, b_safe, si_cur, bond_xor, rows, on_tpu)
+    w_cur = _pw_extras.get("w_cur")
+    if w_cur is None:
+        w_cur = _weight_lookup(model, b_safe, si_cur, bond_xor, rows, on_tpu)
     if bond_scale is not None:
         w_new = w_new * bond_scale[rows[None, :], b_new]
         w_cur = w_cur * bond_scale[rows[None, :], b_safe]
@@ -551,12 +580,13 @@ def _diagonal_update_fast(
         bw_tot = beta * hb.total  # [R]
         if _use_class_tables(model):
             # max over the class row == max_diag_w()[b_new] exactly (same
-            # floats, order-independent max), selected without a gather.
+            # floats, order-independent max), selected without a gather;
+            # the precompute's fetched classes are reused when available.
             maxw_cls = jnp.max(model.wtab, axis=1)  # [C]
-            maxw = _class_select(
-                maxw_cls[:, None], _bond_fetch(model.cls, b_new, on_tpu),
-                jnp.int32(0),
-            )
+            cls_new = _pw_extras.get("cls_new")
+            if cls_new is None:
+                cls_new = _bond_fetch(model.cls, b_new, on_tpu)
+            maxw = _class_select(maxw_cls[:, None], cls_new, jnp.int32(0))
         else:
             maxw = jnp.max(model.diag_w[b_new], axis=-1)
         if bond_scale is not None:

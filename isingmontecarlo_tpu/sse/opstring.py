@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from isingmontecarlo_tpu.sse.model import BondModel
-from isingmontecarlo_tpu.sse.tables import bond_fetch
+from isingmontecarlo_tpu.sse.tables import bond_fetch, bond_fetch_multi
 
 
 class OpString(NamedTuple):
@@ -125,10 +125,11 @@ def op_vars(ops: OpString, model: BondModel) -> jax.Array:
     ``bond_vars[b] -> [M, R, K]`` row-gather form pays the 64x lane padding
     of a K-minor tiling (see ``sse/tables.bond_fetch``)."""
     N = model.nvars
+    K = model.max_legs
     b = jnp.maximum(ops.bond, 0)
     bv_nn = jnp.where(model.bond_vars >= 0, model.bond_vars, N)
     v = jnp.stack(
-        [bond_fetch(bv_nn[:, k], b, vmax=N) for k in range(model.max_legs)]
+        bond_fetch_multi([bv_nn[:, k] for k in range(K)], b, [N] * K)
     )  # [K, M, R]
     return jnp.where((ops.bond >= 0)[None] & (v < N), v, -1)
 
@@ -172,9 +173,7 @@ def worldline_maps(ops: OpString, model: BondModel):
     KM = K * M
     _BIG = jnp.int32(2**30)
 
-    b = jnp.maximum(ops.bond, 0)
-    vars_kmr = jnp.moveaxis(model.bond_vars[b], -1, 0)
-    vars_kmr = jnp.where((ops.bond >= 0)[None], vars_kmr, -1)
+    vars_kmr = op_vars(ops, model)  # [K, M, R] lane-major fetches
     leg_var = vars_kmr.reshape(KM, R)
     p_of_f = jnp.arange(KM, dtype=jnp.int32) % M
     self_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))

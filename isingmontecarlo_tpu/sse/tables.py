@@ -41,8 +41,53 @@ def bond_fetch(tab: jnp.ndarray, idx: jnp.ndarray, on_tpu: bool | None = None,
         t = jnp.broadcast_to(
             tab.astype(jnp.int32)[:, None], (tab.shape[0], idx.shape[-1])
         )
-        return take0(t, idx)
+        return take0(t, idx, interpret=jax.default_backend() != "tpu")
     return tab.astype(jnp.int32)[idx]
+
+
+def bond_fetch_multi(tabs, idx: jnp.ndarray, vmaxs,
+                     on_tpu: bool | None = None):
+    """Fetch several small per-bond int tables at the same index grid with
+    ONE take0 pass when their packed bit widths fit 24 bits (the kernel's
+    exact-f32 value cap): per-call cost at [M~7000, R=512] is ~1.6 ms
+    dispatch/issue-bound, so packing K tables is ~K-fold cheaper than K
+    calls. ``tabs``: list of ``[NB]`` int arrays; ``vmaxs``: their maximum
+    values (static ints). Returns a tuple of fetched ``[E, R]`` grids,
+    bit-identical to per-table fetches."""
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    bits = [max(int(v), 1).bit_length() for v in vmaxs]
+    NB = tabs[0].shape[0]
+    if (
+        on_tpu
+        and NB <= _TAKE0_MAX
+        and sum(bits) <= 24
+        and len(tabs) > 1
+    ):
+        from isingmontecarlo_tpu.ops.take_kernel import take0
+
+        shifts = []
+        acc = 0
+        for w in reversed(bits):  # last table in the low bits
+            shifts.append(acc)
+            acc += w
+        shifts = shifts[::-1]
+        packed = tabs[0].astype(jnp.int32) << shifts[0]
+        for t, sh in zip(tabs[1:], shifts[1:]):
+            packed = packed | (t.astype(jnp.int32) << sh)
+        tbl = jnp.broadcast_to(packed[:, None], (NB, idx.shape[-1]))
+        digits = -(-sum(bits) // 7)
+        out = take0(
+            tbl, idx, digits=max(2, digits),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return tuple(
+            (out >> sh) & ((1 << w) - 1) for sh, w in zip(shifts, bits)
+        )
+    return tuple(
+        bond_fetch(t, idx, on_tpu=on_tpu, vmax=v)
+        for t, v in zip(tabs, vmaxs)
+    )
 
 
 def fetch_xor(bond_xor: jnp.ndarray, b: jnp.ndarray,
@@ -56,7 +101,10 @@ def fetch_xor(bond_xor: jnp.ndarray, b: jnp.ndarray,
     if on_tpu and NB <= _TAKE0_MAX:
         from isingmontecarlo_tpu.ops.take_kernel import take0
 
-        return take0(bond_xor.T.astype(jnp.int32), b)
+        return take0(
+            bond_xor.T.astype(jnp.int32), b,
+            interpret=jax.default_backend() != "tpu",
+        )
     rows = jnp.arange(R, dtype=jnp.int32)
     return bond_xor[rows.reshape((1,) * (b.ndim - 1) + (-1,)), b]
 

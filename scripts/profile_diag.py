@@ -90,7 +90,7 @@ def diag_body(c, i):
 
 def pw_body(c, i):
     u1 = jax.random.uniform(jax.random.key(i), ops0.bond.shape)
-    b_new, bits_new, w_new = _diag._parallel_weights(
+    b_new, bits_new, w_new, _ = _diag._parallel_weights(
         ops0._replace(bond=ops0.bond + (i >> 30)), state0, u1, model,
         None, False,
     )

@@ -164,7 +164,7 @@ marginal("prep + parity kernel", kern)
 # --- full precompute: kernel vs packed XLA ------------------------------------
 def pw(c, i):
     u1 = jax.random.uniform(jax.random.key(i), (M, R))
-    b_new, bits_new, w_new = _diag._parallel_weights(
+    b_new, bits_new, w_new, _ = _diag._parallel_weights(
         ops0._replace(bond=ops0.bond + (i >> 30)), state0, u1, model,
         None, False,
     )

@@ -42,3 +42,37 @@ def test_take0_max_values_exact():
     got = np.asarray(take0(jnp.asarray(table), jnp.asarray(idx),
                            interpret=True))
     np.testing.assert_array_equal(got, np.take_along_axis(table, idx, axis=0))
+
+
+@pytest.mark.parametrize("digits,vmax", [(3, 1 << 21), (4, 1 << 24)])
+def test_take0_extra_digits(digits, vmax):
+    """digits=3/4 packing planes stay exact up to the f32 integer cap."""
+    C, E, R = 517, 300, 12
+    rng = np.random.default_rng(digits)
+    table = rng.integers(0, vmax, size=(C, R), dtype=np.int32)
+    table[0] = vmax - 1
+    idx = rng.integers(0, C, size=(E, R), dtype=np.int32)
+    got = np.asarray(take0(jnp.asarray(table), jnp.asarray(idx),
+                           interpret=True, digits=digits))
+    want = np.take_along_axis(table, idx, axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bond_fetch_multi_packed_matches_plain():
+    """The packed multi-table fetch (one take0 with extra digit planes)
+    must be bit-identical to per-table fetches, including sentinel-width
+    tables like the diagonal prep's (v0, v1, cls) triple."""
+    from isingmontecarlo_tpu.sse.tables import bond_fetch_multi
+
+    rng = np.random.default_rng(7)
+    NB, M, R = 3072, 700, 16
+    sent = 1024
+    v0 = rng.integers(0, sent + 1, size=NB).astype(np.int32)
+    v1 = rng.integers(0, sent + 1, size=NB).astype(np.int32)
+    cls = rng.integers(0, 3, size=NB).astype(np.int32)
+    idx = jnp.asarray(rng.integers(0, NB, size=(M, R)).astype(np.int32))
+    tabs = [jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(cls)]
+    got = bond_fetch_multi(tabs, idx, [sent, sent, 2], on_tpu=True)
+    want = bond_fetch_multi(tabs, idx, [sent, sent, 2], on_tpu=False)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
