@@ -330,15 +330,17 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
     edge_j = (edge_s == 1) & valid_j
 
     # Path-space breaks: a new segment starts at worldline group heads
-    # (before the in element) and at the in->out boundary of edge ops.
+    # (before the in element) and at the in->out boundary of edge ops. The
+    # interleaved [2KM] break sequence (in element 2j, out element 2j+1)
+    # collapses to ONE [KM] cumsum: with c_j = inclusive-cumsum of
+    # (break_in + edge), the in element's id is c_j - edge_j - 1 and the
+    # out element's is c_j - 1 (the edge break sits between them).
     break_in = seg_start & valid_j
-    breaks = jnp.stack([break_in, edge_j], axis=1).reshape(2 * KM, R)
-    valid_e = jnp.repeat(valid_j, 2, axis=0)
-    seg_raw = jnp.cumsum(breaks.astype(jnp.int32), axis=0) - 1
-    seg_e = jnp.where(valid_e, seg_raw, S - 1)
-    seg_in_j = seg_e[0::2]  # [KM, R] segment of sorted leg j's in element
-    seg_out_j = seg_e[1::2]
-    nseg = seg_raw[-1, :] + 1
+    edge_i = edge_j.astype(jnp.int32)
+    c = jnp.cumsum(break_in.astype(jnp.int32) + edge_i, axis=0)  # [KM, R]
+    seg_in_j = jnp.where(valid_j, c - edge_i - 1, S - 1)
+    seg_out_j = jnp.where(valid_j, c - 1, S - 1)
+    nseg = c[-1, :]
 
     # Back-permute sorted-space segment ids to flat leg space: stable sort
     # keyed by the permutation (distinct keys -> payload f lands at row f).

@@ -50,6 +50,8 @@ run profile_diag_r64 3600 python scripts/profile_diag.py 32 64
 run profile_cluster_r512 3600 python scripts/profile_cluster.py 32 512
 run profile_prep_r512 3600 python scripts/profile_prep.py 32 512
 run tune_hook_r512 3600 python scripts/tune_hook.py 32 512
+run profile_sortk 3600 python scripts/profile_sortk.py 32 256
+run profile_sg_r512 3600 python scripts/profile_sg.py 32 512
 run profile_cluster2_r512 3600 python scripts/profile_cluster.py 32 512
 run ess32_k6_r512_long 3000 python scripts/ess32.py 32 512 40 6 8
 run ess32_k4_r512_long 3000 python scripts/ess32.py 32 512 40 4 8
