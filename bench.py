@@ -43,23 +43,38 @@ def _wait_for_tpu(max_wait_s: float) -> bool:
         "import jax.numpy as jnp; "
         "assert float(jnp.sum(jnp.arange(8.0))) == 28.0"
     )
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    # Candidate environments, tried in order each cycle. The image has
+    # flip-flopped across rounds on whether PYTHONPATH helps or breaks the
+    # axon plugin: through round 3 ANY PYTHONPATH broke plugin discovery,
+    # but the round-4 image *requires* PYTHONPATH=/root/.axon_site (the
+    # plugin lives there; stripping it made every probe fail and cost
+    # rounds 2-3 their TPU records). Probe both and adopt whichever works.
+    envs = [dict(os.environ)]
+    if "PYTHONPATH" in os.environ:
+        envs.append({k: v for k, v in os.environ.items() if k != "PYTHONPATH"})
     deadline = time.monotonic() + max_wait_s
     while True:
-        try:
-            ok = (
-                subprocess.run(
-                    [sys.executable, "-c", probe],
-                    timeout=120,
-                    env=env,
-                    cwd="/root/repo",
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
-                ).returncode
-                == 0
-            )
-        except subprocess.TimeoutExpired:
-            ok = False
+        ok = False
+        for env in envs:
+            try:
+                ok = (
+                    subprocess.run(
+                        [sys.executable, "-c", probe],
+                        timeout=120,
+                        env=env,
+                        cwd="/root/repo",
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    ).returncode
+                    == 0
+                )
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok:
+                # Make this process's backend init match the winning probe.
+                if "PYTHONPATH" in os.environ and "PYTHONPATH" not in env:
+                    del os.environ["PYTHONPATH"]
+                break
         if ok:
             return True
         if time.monotonic() >= deadline:
@@ -86,6 +101,15 @@ def _remaining_budget() -> float:
 _TPU_OK = _wait_for_tpu(float(os.environ.get("ISING_BENCH_WAIT", "600")))
 
 import jax  # noqa: E402
+
+# Persistent compilation cache (works on the round-4 image; broken before —
+# see CLAUDE.md). Pre-warmed in-session with this exact invocation so the
+# driver's end-of-round run compiles nothing: the 32^2 R=512 SSE program
+# takes ~15 min of server-side compiles cold, which busted the round-3
+# ess32 budget. ISING_NO_CACHE=1 opts out.
+if os.environ.get("ISING_NO_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ising")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 if not _TPU_OK:
     # Backend init over a dead tunnel hangs forever; a CPU record marked
@@ -387,7 +411,11 @@ def _ess32_record(timeout_s: float) -> dict | None:
     ).split(",")]
     R, ns, k = cfg[:3]
     L = cfg[3] if len(cfg) > 3 else 32
-    env = {k_: v for k_, v in os.environ.items() if k_ != "PYTHONPATH"}
+    # Inherit this process's env verbatim: _wait_for_tpu already mutated
+    # os.environ to whatever variant the probe proved works (the round-4
+    # image REQUIRES PYTHONPATH=/root/.axon_site for the axon plugin;
+    # earlier images required it absent).
+    env = dict(os.environ)
     try:
         out = subprocess.run(
             [sys.executable, "scripts/ess32.py", str(L), str(R), str(ns), str(k)],
@@ -499,3 +527,11 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # Hard-exit: the axon plugin's interpreter-exit teardown can hang for
+    # minutes when a TPU subprocess was killed mid-operation (observed
+    # 2026-08-21: main() returned, process stuck in a thread join). All
+    # output is flushed above; never let cleanup eat the driver's capture
+    # window.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

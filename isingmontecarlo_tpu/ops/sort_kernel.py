@@ -138,6 +138,13 @@ def _sort_block(
         if nops > 1
         else jax.ShapeDtypeStruct((N, Rp), jnp.int32),
         input_output_aliases={i + 3: i for i in range(nops)},
+        # Mosaic's default scoped-VMEM budget is 16 MB; at N=8192 the
+        # aliased blocks (4 MB each) plus the stage loop's roll/select
+        # temporaries need ~24 MB (hardware-observed OOM, 2026-08-21).
+        # v5e has 128 MB VMEM — raise the cap and let liveness decide.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(jv, kv, desc.reshape(1), *operands)
 

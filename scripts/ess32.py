@@ -20,6 +20,12 @@ import time
 
 import jax
 
+# Persistent compile cache (round-4 image; see bench.py / CLAUDE.md): the
+# cold 32^2 R=512 program costs ~15 min of tunnel-side compiles.
+if os.environ.get("ISING_NO_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ising")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 if os.environ.get("ISING_FORCE_CPU") == "1":
     # For CPU smoke drives (bench.py's _ess32_record test path): the
     # JAX_PLATFORMS env var is ignored in this image (CLAUDE.md), so force

@@ -4,7 +4,10 @@
 FLAG=${1:-/tmp/tpu_up}
 rm -f "$FLAG"
 while true; do
-  if timeout 120 env -u PYTHONPATH python -c "
+  # NOTE: do NOT strip PYTHONPATH here — the round-4 image ships the axon
+  # plugin via PYTHONPATH=/root/.axon_site (earlier images required the
+  # opposite; see bench.py::_wait_for_tpu).
+  if timeout 120 python -c "
 import jax
 assert jax.devices()[0].platform == 'tpu'
 import jax.numpy as jnp

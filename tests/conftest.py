@@ -24,8 +24,12 @@ import jax  # noqa: E402  (after env setup)
 if not os.environ.get("JAX_REAL_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# NOTE: the persistent compilation cache is deliberately NOT enabled. In this
-# image the cache write path (zstandard backend) segfaults and cached XLA:CPU
-# AOT executables warn about machine-feature mismatches (potential SIGILL), so
-# tests always compile cold.
-jax.config.update("jax_enable_compilation_cache", False)
+# Persistent compilation cache: broken on the rounds-1-3 image (zstandard
+# cache writes segfaulted), WORKS on the round-4 image (2026-08-21, verified:
+# 132 s cold -> 1.0 s warm on TPU; CPU writes clean). ISING_NO_CACHE=1
+# restores cold compiles if the image regresses.
+if os.environ.get("ISING_NO_CACHE") == "1":
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ising_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
