@@ -216,7 +216,14 @@ def bench_sse(
     from isingmontecarlo_tpu.sse.ising import QmcIsingGraph, multi_sweep
 
     edges = lattice.bench_two_d_periodic(L)
-    g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=7)
+    # Warm-start cutoff hint just under the known steady state (16^2 R=256:
+    # 1808; 32^2: ~6976): growth then converges in ~2 dispatches instead of
+    # ~9, and every skipped dispatch is a skipped multi-minute single-core
+    # XLA compile of a throwaway shape (see scripts/ess32.py).
+    hint = {16: 1700, 32: 6500}.get(L)
+    g = QmcIsingGraph(
+        edges, transverse=1.0, replicas=replicas, seed=7, cutoff=hint
+    )
     beta = jnp.float32(1.0)
     # Grow the cutoff to steady state (short chunks until stable), then
     # equilibrate.
@@ -263,8 +270,31 @@ def bench_suite(json_path: str | None = None) -> None:
 
     rows = []
 
+    # Warm-start cutoff hints per row (slightly UNDER measured steady-state
+    # cutoffs from MEASUREMENTS_r2/r3): growth then converges in ~2
+    # dispatches; every skipped growth dispatch is a skipped multi-minute
+    # single-core XLA compile of a throwaway shape. Rows without a hint
+    # (the small/fast ones) cold-grow as before.
+    # Measured: two_d_16 R=256 -> 1808; two_d_32 -> ~6900-6976; rvb_04 ->
+    # 1408 (n~821), rvb_06 -> 2656 (n~1672) => n ~ (4.3-4.6) N beta, cutoff
+    # ~ 1.6 n. Hints sit at ~70-90% of the estimate: undershoot only costs
+    # one extra growth dispatch, overshoot would inflate M permanently.
+    hints = {
+        "two_d_16": 1700,
+        "two_d_heatbath_16": 1700,
+        "two_d_rvb_16": 14000,
+        "two_d_32": 6300,
+        "two_d_heatbath_32": 6300,
+        "two_d_rvb_32": 55000,
+        "two_d_rvb_cold_7": 24000,
+        "two_d_rvb_cold_8": 32000,
+    }
+
     def measure(name, edges, beta, replicas, heatbath=False, rvb=0, warm=8):
-        g = QmcIsingGraph(edges, transverse=1.0, replicas=replicas, seed=1234)
+        g = QmcIsingGraph(
+            edges, transverse=1.0, replicas=replicas, seed=1234,
+            cutoff=hints.get(name.split()[0]),
+        )
         if heatbath:
             g.set_enable_heatbath(True)
         if rvb:
