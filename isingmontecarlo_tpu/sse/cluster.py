@@ -461,7 +461,8 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
 
 def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
                       label_cap: int | None = None,
-                      edge_cap: int | None = None):
+                      edge_cap: int | None = None,
+                      overflow_noop=None):
     """Run ``consume(W, seg_in, seg_out, SL)`` on a statically *compacted*
     label problem when it fits, else on the full-size one.
 
@@ -473,8 +474,18 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
     ``2E // 3`` (16-aligned); callers that track the real counts on the
     host (``QmcIsingGraph._maybe_grow``) pass tighter static
     ``label_cap``/``edge_cap`` — every per-round label gather/scatter
-    shrinks with them. A ``lax.cond`` guards overflow (both branches
-    compile, the cheap one executes). Edges are packed to the front with a
+    shrinks with them. A ``lax.cond`` guards overflow. With
+    ``overflow_noop=None`` the fallback branch runs the FULL-size pipeline
+    (both branches compile, the cheap one executes). With ``overflow_noop``
+    set to a pytree matching ``consume``'s output, the overflow branch
+    returns that constant instead: sweep-path callers use it to make a
+    cap-overflowing dispatch SKIP the cluster update — a valid thinner
+    update schedule, and the host refreshes caps from ``_cap_counts`` after
+    every chunk so overflow lasts at most one chunk. The full fallback
+    doubled the cluster code in every compiled sweep body, and the round-4
+    image's remote compile helper hangs on programs past ~20 MB
+    (MEASUREMENTS_r4.md) — program size is a reliability constraint here,
+    not just compile time. Edges are packed to the front with a
     stable 3-operand sort on the dump flag (edges with dump endpoints are
     no-ops and never one-sided, so ``u == dump`` identifies them; a sort
     replaces two per-lane [E, R] scatters); in the compact branch the dump
@@ -518,8 +529,12 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
             Wc, jnp.minimum(seg_in, cdump), jnp.minimum(seg_out, cdump), C
         )
 
-    def full(_):
-        return consume(_hook_compress_labels(u, v, S), seg_in, seg_out, S)
+    if overflow_noop is not None:
+        def full(_):
+            return overflow_noop
+    else:
+        def full(_):
+            return consume(_hook_compress_labels(u, v, S), seg_in, seg_out, S)
 
     return jax.lax.cond(fits, compact, full, None)
 
@@ -773,9 +788,21 @@ def _cluster_update_impl(
         f_out = _take0_fast(flip_root, lab_out) & valid_op
         return f_in, f_out
 
+    # With host-managed caps (the steady-state sweep path), a cap overflow
+    # SKIPS this cluster update (all-False flips) instead of compiling a
+    # second full-size pipeline into the sweep body: a skipped update is a
+    # valid thinner schedule, the host refreshes caps after every chunk
+    # (``QmcIsingGraph._maybe_grow``), and halving the cluster code keeps
+    # the fused program under the remote compile helper's ~20 MB hang
+    # threshold. Cap-less callers (cold starts, public default) keep the
+    # full-size fallback: their default caps overflow routinely while
+    # M < ~2N and silently skipping would stall off-diagonal equilibration.
+    noop = None
+    if label_cap is not None:
+        noop = (jnp.zeros((M, R), bool), jnp.zeros((M, R), bool))
     flip_in, flip_out = _compact_dispatch(
         sg.u, sg.v, sg.S, sg.nseg, sg.seg_in, sg.seg_out, _flip_decisions,
-        label_cap=label_cap, edge_cap=edge_cap,
+        label_cap=label_cap, edge_cap=edge_cap, overflow_noop=noop,
     )
 
     lv = op_vars(ops, model) >= 0  # [K, M, R]

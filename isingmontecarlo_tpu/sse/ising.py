@@ -205,11 +205,57 @@ def multi_sweep(
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
 
+    succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
+    if cluster_every > 1 and nsweeps % cluster_every == 0:
+        # Thinning via nested scans instead of a per-sweep ``lax.cond``:
+        # blocks of (k-1) cluster-less sweeps then one full sweep. The cond
+        # form compiles BOTH sweep bodies into one branch pair on top of
+        # the cluster update's own overflow cond, tripling the cluster code
+        # in the program; the remote compile helper on the round-4 image
+        # hangs on programs past ~20 MB (MEASUREMENTS_r4.md). Sweep order,
+        # per-sweep RNG-key chain, and outputs are identical to the cond
+        # form (same ``do_cluster`` flag at every position), so results are
+        # bit-identical; only the compiled program shrinks.
+        k = cluster_every
+
+        def diag_body(carry, _):
+            sse, succ = carry
+            new, s = sweep(sse, beta, model, do_cluster=False, **kw)
+            out = (
+                _ops.op_count(new.ops),
+                new.state if collect_states else None,
+            )
+            return (new, succ + s), out
+
+        def block(carry, _):
+            carry, outs_d = jax.lax.scan(
+                diag_body, carry, None, length=k - 1
+            )
+            sse, succ = carry
+            new, s = sweep(sse, beta, model, do_cluster=True, **kw)
+            out_c = (
+                _ops.op_count(new.ops),
+                new.state if collect_states else None,
+            )
+            outs = jax.tree.map(
+                lambda d, c: jnp.concatenate([d, c[None]], axis=0),
+                outs_d,
+                out_c,
+            )
+            return (new, succ + s), outs
+
+        (sse, succ), (ns, states) = jax.lax.scan(
+            block, (sse, succ0), None, length=nsweeps // k
+        )
+        ns = ns.reshape(nsweeps, *ns.shape[2:])
+        if collect_states:
+            states = states.reshape(nsweeps, *states.shape[2:])
+        return sse, ns, states, succ
+
     flags = (
         jnp.arange(nsweeps, dtype=jnp.int32) % cluster_every
         == cluster_every - 1
     )
-    succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
     (sse, succ), (ns, states) = jax.lax.scan(
         body, (sse, succ0), flags, length=nsweeps
     )
