@@ -324,10 +324,12 @@ def bench_suite(json_path: str | None = None) -> None:
             g._maybe_grow()
         # Re-snapshot per-sweep args after warmup: _maybe_grow has now set
         # the RVB active-slot compaction cutoff (and final cluster caps), so
-        # the timed region runs what timesteps_measure would actually run.
+        # the timed region runs what timesteps_measure would actually run
+        # (compact-capped cluster labels included).
         kw = dict(
             hb=g._hb_tables if heatbath else None,
             heatbath=heatbath,
+            cluster_caps=g._cluster_caps,
             **g._rvb_args(),
         )
 

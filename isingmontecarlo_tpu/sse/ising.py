@@ -141,7 +141,18 @@ def sweep(
         succ = jnp.zeros((state.shape[0],), jnp.int32)
     if not do_cluster:
         return SseState(ops=ops, state=state, key=key), succ
-    lc, ec = cluster_caps if cluster_caps is not None else (None, None)
+    if cluster_caps is not None:
+        lc, ec = cluster_caps
+    else:
+        # Cap-less (cold-start / growth) sweeps label at FULL size with no
+        # compact/full cond: S as the label cap takes _compact_dispatch's
+        # single-pipeline early return. Correctness is unchanged (full-size
+        # labels, never skipped); the compiled sweep body halves, which
+        # keeps growth-phase programs under the remote compile helper's
+        # ~20 MB hang threshold (MEASUREMENTS_r4.md). Costs ~2x on the
+        # cluster update only while caps are unknown — a few dispatches.
+        lc = ops.bond.shape[0] + model.nvars + 1
+        ec = None
     # One segment-graph build serves the cluster update AND the free-spin
     # resampling (a var has ops iff its worldline has a head leg; cluster
     # flips never move ops, so the map stays valid for the new string).

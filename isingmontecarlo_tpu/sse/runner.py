@@ -63,7 +63,13 @@ def generic_multi_sweep(
             )
         has_op = None
         if do_cluster:
-            lc, ec = cluster_caps if cluster_caps is not None else (None, None)
+            if cluster_caps is not None:
+                lc, ec = cluster_caps
+            else:
+                # Full-size single-pipeline labeling (no compact/full cond):
+                # halves the compiled body — see ising.sweep's cap-less arm.
+                lc = ops.bond.shape[0] + model.nvars + 1
+                ec = None
             # One segment-graph build serves the cluster update and the
             # free-bit resample (see ising.sweep): cluster flips never move
             # ops, so the per-var occupation stays valid.
