@@ -349,15 +349,20 @@ def bench_suite(json_path: str | None = None) -> None:
             f"(R={replicas}, cutoff={g.cutoff}, n~{float(jnp.mean(ns[-1])):.0f})",
             file=sys.stderr,
         )
-        rows.append(
-            {
-                "workload": name.split()[0],
-                "ns_per_replica_timestep": per * 1e9,
-                "replicas": replicas,
-                "cutoff": g.cutoff,
-                "mean_n": float(jnp.mean(ns[-1])),
-            }
-        )
+        row = {
+            "workload": name.split()[0],
+            "ns_per_replica_timestep": per * 1e9,
+            "replicas": replicas,
+            "cutoff": g.cutoff,
+            "mean_n": float(jnp.mean(ns[-1])),
+        }
+        rows.append(row)
+        # Append per row, not at the end: the deepest rows can crash the
+        # tunnel worker or outlive a wrapper timeout, and a partial JSONL
+        # beats losing the whole table (round-3 suite never completed).
+        if json_path:
+            with open(json_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
 
     def safe(name, *a, **kw):
         try:
@@ -420,10 +425,6 @@ def bench_suite(json_path: str | None = None) -> None:
         "two_d_rvb_32 (beta=10)", lattice.bench_two_d_periodic(32),
         10.0, 4, rvb=(32 * 32 + 1) // 2, warm=2,
     )
-    if json_path:
-        with open(json_path, "a") as f:
-            for row in rows:
-                f.write(json.dumps(row) + "\n")
 
 
 BASELINE_ESS32_PER_SEC = 500.0  # single-core denominator, BASELINE.md
