@@ -217,16 +217,19 @@ def multi_sweep(
         return (new, succ + s), out
 
     succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
-    if cluster_every > 1 and nsweeps % cluster_every == 0:
+    if cluster_every > 1:
         # Thinning via nested scans instead of a per-sweep ``lax.cond``:
-        # blocks of (k-1) cluster-less sweeps then one full sweep. The cond
+        # blocks of (k-1) cluster-less sweeps then one full sweep, plus a
+        # cluster-less tail scan for the ``nsweeps % k`` remainder. The cond
         # form compiles BOTH sweep bodies into one branch pair on top of
         # the cluster update's own overflow cond, tripling the cluster code
         # in the program; the remote compile helper on the round-4 image
-        # hangs on programs past ~20 MB (MEASUREMENTS_r4.md). Sweep order,
-        # per-sweep RNG-key chain, and outputs are identical to the cond
-        # form (same ``do_cluster`` flag at every position), so results are
-        # bit-identical; only the compiled program shrinks.
+        # hangs on programs past ~20 MB (MEASUREMENTS_r4.md) — the hang that
+        # ate the round-4 ess32 NS=40 k=6 row ran exactly the cond fallback
+        # this removes. Sweep order, per-sweep RNG-key chain, and outputs
+        # are identical to the cond form (cluster at every i with
+        # ``i % k == k-1``, diagonal-only elsewhere — including the tail),
+        # so results are bit-identical; only the compiled program shrinks.
         k = cluster_every
 
         def diag_body(carry, _):
@@ -255,12 +258,33 @@ def multi_sweep(
             )
             return (new, succ + s), outs
 
-        (sse, succ), (ns, states) = jax.lax.scan(
-            block, (sse, succ0), None, length=nsweeps // k
+        carry = (sse, succ0)
+        chunks_ns, chunks_st = [], []
+        if nsweeps // k:
+            carry, (ns_b, st_b) = jax.lax.scan(
+                block, carry, None, length=nsweeps // k
+            )
+            chunks_ns.append(ns_b.reshape(-1, *ns_b.shape[2:]))
+            if collect_states:
+                chunks_st.append(st_b.reshape(-1, *st_b.shape[2:]))
+        if nsweeps % k:
+            carry, (ns_t, st_t) = jax.lax.scan(
+                diag_body, carry, None, length=nsweeps % k
+            )
+            chunks_ns.append(ns_t)
+            if collect_states:
+                chunks_st.append(st_t)
+        sse, succ = carry
+        ns = (
+            chunks_ns[0] if len(chunks_ns) == 1
+            else jnp.concatenate(chunks_ns, axis=0)
         )
-        ns = ns.reshape(nsweeps, *ns.shape[2:])
+        states = None
         if collect_states:
-            states = states.reshape(nsweeps, *states.shape[2:])
+            states = (
+                chunks_st[0] if len(chunks_st) == 1
+                else jnp.concatenate(chunks_st, axis=0)
+            )
         return sse, ns, states, succ
 
     flags = (

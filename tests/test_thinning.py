@@ -1,8 +1,9 @@
 """Round-4 program-size reductions must be behavior-preserving:
 
-- ``multi_sweep(cluster_every=k)`` with ``nsweeps % k == 0`` runs the
-  nested-scan form (no per-sweep cond); it must be bit-identical to the
-  explicit sweep-by-sweep composition with the same flag schedule.
+- ``multi_sweep(cluster_every=k)`` runs the nested-scan form (no per-sweep
+  cond; full blocks + a cluster-less tail for any ``nsweeps % k``); it must
+  be bit-identical to the explicit sweep-by-sweep composition with the same
+  flag schedule.
 - ``_cluster_update_impl`` with host caps skips (all-False flips) on cap
   overflow instead of running a full-size fallback pipeline; with ample
   caps it is bit-identical to the cap-less full path.
@@ -10,6 +11,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from isingmontecarlo_tpu import lattice
 from isingmontecarlo_tpu.sse import cluster as _cluster
@@ -27,9 +29,12 @@ def _equilibrated(replicas=4, seed=3, nsweeps=6):
     return g, beta
 
 
-def test_nested_thinning_bit_identical_to_sweep_composition():
+@pytest.mark.parametrize("k,ns", [(3, 6), (3, 7), (4, 3)])
+def test_nested_thinning_bit_identical_to_sweep_composition(k, ns):
+    # ns % k != 0 exercises the cluster-less tail scan (the per-sweep cond
+    # fallback it replaced compiled a double-size program that hung the
+    # remote compile helper); ns < k exercises the zero-block case.
     g, beta = _equilibrated()
-    k, ns = 3, 6
     sse_a, ns_a, _, succ_a = multi_sweep(
         g.sse, beta, g.model, ns, cluster_every=k
     )
