@@ -173,6 +173,30 @@ def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
 
 
 @jax.jit
+def _pair_starts(rank: jax.Array, parity: jax.Array, R: int) -> jax.Array:
+    """Rank-space mask of pair-start ranks for one alternating-parity
+    neighbor-swap sweep (``swap_on_chunks``, ``tempering_container.rs:274-302``)."""
+    return ((rank - parity) % 2 == 0) & (rank >= parity) & (rank + 1 < R)
+
+
+def candidate_partner(betas: jax.Array, parity: jax.Array) -> jax.Array:
+    """Replica-space candidate-partner map for this swap sweep: ``cpart[r]``
+    is the replica whose labels replica ``r`` would take if its pair
+    accepts (identity for unpaired ranks). Pairing is fixed by rank parity
+    alone, before any acceptance draw — every replica can evaluate its
+    prospective partner's labels locally (used by the sharded chunk's
+    op-resolved swap path)."""
+    R = betas.shape[0]
+    order = jnp.argsort(betas)
+    rank = jnp.arange(R, dtype=jnp.int32)
+    is_start = _pair_starts(rank, parity, R)
+    is_prev = jnp.roll(is_start, 1) & (rank > 0)
+    cand_rank = jnp.where(
+        is_start, rank + 1, jnp.where(is_prev, rank - 1, rank)
+    )
+    return jnp.zeros((R,), jnp.int32).at[order].set(order[cand_rank])
+
+
 def tempering_step(
     n: jax.Array,  # i32[R] op counts
     betas: jax.Array,  # f32[R]
@@ -184,6 +208,8 @@ def tempering_step(
     model=None,  # BondModel — signed path only
     scales: jax.Array | None = None,  # f32[R, NB] — signed path only
     xors: jax.Array | None = None,  # i32[R, NB] — signed path only
+    delta: jax.Array | None = None,  # f32[R] precomputed op-walk deltas
+    blocked: jax.Array | None = None,  # bool[R] zero-weight-under-swap
 ) -> tuple[jax.Array, jax.Array]:
     """One neighbor-swap sweep. Returns ``(perm i32[R], n_swaps)`` where
     ``perm[r]`` is the replica whose parameter labels replica ``r`` takes
@@ -207,7 +233,7 @@ def tempering_step(
     n_sorted = n[order].astype(jnp.float32)
 
     rank = jnp.arange(R, dtype=jnp.int32)
-    is_start = ((rank - parity) % 2 == 0) & (rank >= parity) & (rank + 1 < R)
+    is_start = _pair_starts(rank, parity, R)
 
     b_next = jnp.roll(b_sorted, -1)
     n_next = jnp.roll(n_sorted, -1)
@@ -224,17 +250,14 @@ def tempering_step(
             (nc_next - nc_sorted) * (lc_sorted - lc_next), axis=1
         )
     blocked_pair = jnp.zeros((R,), bool)
-    if xors is not None:
+    if xors is not None and delta is None:
         # Candidate pairing is fixed by rank parity alone (acceptance comes
         # after), so every replica knows its prospective partner's label.
-        is_prev = jnp.roll(is_start, 1) & (rank > 0)
-        cand_rank = jnp.where(
-            is_start, rank + 1, jnp.where(is_prev, rank - 1, rank)
-        )
-        cpart = jnp.zeros((R,), jnp.int32).at[order].set(order[cand_rank])
+        cpart = candidate_partner(betas, parity)
         delta, blocked = _ops.log_weight_delta(
             ops, model, scales, xors, scales[cpart], xors[cpart]
         )
+    if delta is not None:
         d_sorted = delta[order]
         blk_sorted = blocked[order]
         logp = logp + d_sorted + jnp.roll(d_sorted, -1)
@@ -405,6 +428,213 @@ def tempering_sweep_chunk(
             betas_t)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_chunk_fn(
+    mesh, axis_name: str, nsweeps: int, heatbath: bool, hetero: bool,
+    collect_states: bool, cluster_caps, signed: bool, hb_kind: str,
+):
+    """Build (and cache) the jitted ``shard_map`` tempering chunk for one
+    static configuration. See :func:`tempering_sweep_chunk_sharded`."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name  # str, or tuple of names (replica dim over several axes)
+    ax_names = (ax,) if isinstance(ax, str) else tuple(ax)
+
+    def chunk(sse, betas, scales, xors, hb, parity, do_swap, model):
+        # Linear device position along the (possibly multi-axis) replica
+        # sharding, major-to-minor in tuple order — matches P(ax)'s layout.
+        idx = jax.lax.axis_index(ax_names[0])
+        for name in ax_names[1:]:
+            idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        R_l = betas.shape[0]
+        base_key = sse.key  # replicated: every device holds the same key
+        lo = idx * R_l
+
+        def gather(x):
+            return jax.lax.all_gather(x, ax_names, axis=0, tiled=True)
+
+        def body(carry, xs):
+            t, do_swap_t = xs
+            sse_c, betas_c, scales_c, xors_c, hb_c, parity, nswaps = carry
+            # Per-sweep keys derive from the replicated chunk key: the swap
+            # draw must be IDENTICAL on every device (perm is computed
+            # redundantly), while sweep randomness must DIFFER per device —
+            # fold the mesh position in for the sweep only. This gives a
+            # different (equally valid) stream than the unsharded chunk.
+            key_t = jax.random.fold_in(base_key, t)
+            k_sweep = jax.random.fold_in(jax.random.fold_in(key_t, 0), idx)
+            k_swap = jax.random.fold_in(key_t, 1)
+            new, _succ = sweep(
+                sse_c._replace(key=k_sweep), betas_c, model, hb=hb_c,
+                heatbath=heatbath,
+                bond_scale=scales_c if hetero else None,
+                cluster_caps=cluster_caps, bond_xor=xors_c,
+            )
+            new = new._replace(key=key_t)  # keep the key leaf replicated
+            n_l = _ops.op_count(new.ops)
+            # Swap traffic: the per-replica label vectors only — n[R] and
+            # betas[R] always; the [R, NB] label tables when the ladder is
+            # heterogeneous or signed (they ARE the swapped labels then).
+            n_g = gather(n_l)
+            betas_g = gather(betas_c)
+            scales_g = gather(scales_c) if (hetero or signed) else None
+            xors_g = gather(xors_c) if signed else None
+            if signed:
+                # Op-resolved acceptance, computed replica-LOCALLY against
+                # the gathered partner labels; only the per-replica scalar
+                # deltas cross devices.
+                cpart_l = jax.lax.dynamic_slice(
+                    candidate_partner(betas_g, parity), (lo,), (R_l,)
+                )
+                d_l, blk_l = _ops.log_weight_delta(
+                    new.ops, model, scales_c, xors_c,
+                    scales_g[cpart_l], xors_g[cpart_l],
+                )
+                perm, nsw = tempering_step(
+                    n_g, betas_g, k_swap, parity,
+                    delta=gather(d_l), blocked=gather(blk_l),
+                )
+            elif hetero:
+                nb_g = gather(_ops.bond_counts(new.ops, model.nbonds))
+                log_c = jnp.log(jnp.maximum(scales_g, 1e-30))
+                perm, nsw = tempering_step(
+                    n_g, betas_g, k_swap, parity, nb_g, log_c
+                )
+            else:
+                perm, nsw = tempering_step(n_g, betas_g, k_swap, parity)
+            perm = jnp.where(do_swap_t, perm, jnp.arange(perm.shape[0],
+                                                         dtype=jnp.int32))
+            take = jax.lax.dynamic_slice(perm, (lo,), (R_l,))
+            betas_c = betas_g[take]
+            if hetero or signed:
+                scales_c = scales_g[take]
+            if signed:
+                xors_c = xors_g[take]
+            if hb_kind == "per_replica":
+                hb_g = type(hb_c)(
+                    cum_max_w=gather(hb_c.cum_max_w), total=gather(hb_c.total)
+                )
+                hb_c = type(hb_c)(
+                    cum_max_w=hb_g.cum_max_w[take], total=hb_g.total[take]
+                )
+            parity = jnp.where(do_swap_t, 1 - parity, parity)
+            nswaps = nswaps + jnp.where(do_swap_t, nsw, 0)
+            out = (n_l, new.state if collect_states else None,
+                   betas_c if collect_states else None)
+            return (new, betas_c, scales_c, xors_c, hb_c, parity, nswaps), out
+
+        carry0 = (sse, betas, scales, xors, hb,
+                  jnp.asarray(parity, jnp.int32), jnp.int32(0))
+        xs = (jnp.arange(nsweeps, dtype=jnp.int32), do_swap)
+        (sse, betas, scales, xors, hb, parity, nswaps), (
+            ns, states, betas_t
+        ) = jax.lax.scan(body, carry0, xs, length=nsweeps)
+        # Advance the replicated key past every per-sweep stream.
+        sse = sse._replace(key=jax.random.fold_in(base_key, nsweeps))
+        return (sse, betas, scales, xors, hb, parity, nswaps, ns, states,
+                betas_t)
+
+    rep = P()
+    sse_spec_t = {
+        "ops": {"bond": P(None, ax), "inputs": P(None, None, ax),
+                "outputs": P(None, None, ax)},
+        "state": P(ax, None), "key": rep,
+    }
+
+    def sse_spec(tmpl):
+        return type(tmpl)(
+            ops=type(tmpl.ops)(**sse_spec_t["ops"]),
+            state=sse_spec_t["state"], key=sse_spec_t["key"],
+        )
+
+    def specs(sse, scales, xors, hb):
+        sp_scales = P(ax, None)
+        sp_xors = P(ax, None) if xors is not None else rep
+        if hb is None:
+            sp_hb = rep
+        elif hb_kind == "per_replica":
+            sp_hb = type(hb)(cum_max_w=P(ax, None), total=P(ax))
+        else:
+            sp_hb = type(hb)(cum_max_w=rep, total=rep)
+        in_specs = (sse_spec(sse), P(ax), sp_scales, sp_xors, sp_hb, rep,
+                    rep, rep)
+        out_specs = (
+            sse_spec(sse), P(ax), sp_scales, sp_xors, sp_hb, rep, rep,
+            P(None, ax),
+            P(None, ax, None) if collect_states else rep,
+            P(None, ax) if collect_states else rep,
+        )
+        return in_specs, out_specs
+
+    def run(sse, betas, scales, xors, hb, parity, do_swap, model):
+        in_specs, out_specs = specs(sse, scales, xors, hb)
+        f = jax.shard_map(
+            chunk, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        return f(sse, betas, scales, xors, hb, parity, do_swap, model)
+
+    return jax.jit(run)
+
+
+def tempering_sweep_chunk_sharded(
+    sse,
+    betas: jax.Array,
+    scales: jax.Array,
+    parity: jax.Array,
+    do_swap: jax.Array,
+    model,
+    nsweeps: int,
+    *,
+    mesh,
+    axis_name: str = "replicas",
+    hb=None,
+    heatbath: bool = False,
+    hetero: bool = False,
+    collect_states: bool = False,
+    cluster_caps: tuple[int, int] | None = None,
+    xors: jax.Array | None = None,
+):
+    """:func:`tempering_sweep_chunk` under an explicit ``jax.shard_map``
+    over ``mesh``'s ``axis_name`` axis: every sweep op is forced
+    replica-local, so the only cross-device traffic per tempering iteration
+    is the label vectors the swap actually exchanges — ``n[R]``/``beta[R]``
+    always, plus the ``[R, NB]`` label tables (scales/xors/heat-bath rows)
+    on heterogeneous or signed ladders. Under plain GSPMD the same program
+    all-gathers ``[S, R]`` cluster-label intermediates (measured 196 KB vs
+    a 16 KB yardstick at the audit shape — ``scripts/collectives_audit.py``),
+    which this wrapper eliminates by construction.
+
+    RNG: sweep randomness folds the device index into the per-sweep key, so
+    replicas draw independent (device-count-dependent) streams — results
+    are statistically equivalent to, but not bit-identical with, the
+    unsharded chunk. The swap draw uses the replicated key so every device
+    computes the identical permutation redundantly (no communication).
+
+    Requires ``R % mesh.devices.size == 0``. The reference's analog is the
+    rayon thread pool (``tempering_container.rs:315-478``); this is its
+    ICI-mesh equivalent per SURVEY.md §2's parallelism inventory."""
+    R = betas.shape[0]
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    ndev = int(np.prod([mesh.shape[n] for n in names]))
+    if R % ndev:
+        raise ValueError(f"replicas {R} not divisible by mesh size {ndev}")
+    if not isinstance(axis_name, str):
+        axis_name = names  # hashable for the lru_cache key
+    signed = xors is not None
+    if hb is None:
+        hb_kind = "none"
+    elif hb.cum_max_w.ndim == 2:
+        hb_kind = "per_replica"
+    else:
+        hb_kind = "shared"
+    fn = _sharded_chunk_fn(
+        mesh, axis_name, nsweeps, heatbath, hetero, collect_states,
+        cluster_caps, signed, hb_kind,
+    )
+    return fn(sse, betas, scales, xors, hb, parity, do_swap, model)
+
+
 class TemperingContainer:
     """Batched parallel tempering over a :class:`QmcIsingGraph` ensemble.
 
@@ -467,6 +697,8 @@ class TemperingContainer:
         self._key = jax.random.key(seed + 0x7E47)
         self._heatbath = False
         self._hb = None
+        self._mesh = None  # set by shard_over: mesh for the sharded chunk
+        self._mesh_axis = "replicas"
         self._pending = None  # incremental graphs live only on `new()` builders
 
     # -- incremental construction (tempering_container.rs:53-74) ------------
@@ -486,6 +718,8 @@ class TemperingContainer:
         self.total_swaps = 0
         self._heatbath = False
         self._hb = None
+        self._mesh = None
+        self._mesh_axis = "replicas"
         return self
 
     def add_qmc_stepper(self, q: QmcIsingGraph, beta: float) -> None:
@@ -536,6 +770,7 @@ class TemperingContainer:
             )
         )
         g._growth_pending = True
+        g._growth_stable = 0
         self.graph = g
         self.betas = jnp.asarray(
             np.concatenate([np.full(q.replicas, b, np.float32) for q, b in pend])
@@ -621,7 +856,7 @@ class TemperingContainer:
         self._finalize()
         done = 0
         g = self.graph
-        stable = 2 if not g._growth_pending else 0
+        stable = 2 if not g._growth_pending else g._growth_stable
         while done < t:
             todo = 1 if stable < 2 else min(chunk, t - done)
             g.sse, _, _, _ = multi_sweep(
@@ -639,6 +874,7 @@ class TemperingContainer:
             before = g.cutoff
             g._maybe_grow()
             stable = 0 if g.cutoff != before else stable + 1
+        g._growth_stable = stable
         g._growth_pending = stable < 2
 
     # -- mirrors tempering_container.rs:121-163 ----------------------------
@@ -716,14 +952,26 @@ class TemperingContainer:
                 [(step + i + 1) % swap_freq == 0 for i in range(todo)]
             )
             samp = [(step + i + 1) % freq == 0 for i in range(todo)]
-            (g.sse, self.betas, self.scales, self.xors, hb, parity, nswaps,
-             _ns, st, bt) = tempering_sweep_chunk(
-                g.sse, self.betas, self.scales, self._parity, do_swap,
-                g.model, todo,
+            kw = dict(
                 hb=self._hb, heatbath=self._heatbath, hetero=self.hetero,
                 collect_states=any(samp), cluster_caps=g._cluster_caps,
                 xors=self.xors,
             )
+            if self._mesh is not None:
+                # shard_map over the mesh replica axis: collective traffic
+                # is the label vectors only (scripts/collectives_audit.py).
+                (g.sse, self.betas, self.scales, self.xors, hb, parity,
+                 nswaps, _ns, st, bt) = tempering_sweep_chunk_sharded(
+                    g.sse, self.betas, self.scales, self._parity, do_swap,
+                    g.model, todo, mesh=self._mesh,
+                    axis_name=self._mesh_axis, **kw,
+                )
+            else:
+                (g.sse, self.betas, self.scales, self.xors, hb, parity,
+                 nswaps, _ns, st, bt) = tempering_sweep_chunk(
+                    g.sse, self.betas, self.scales, self._parity, do_swap,
+                    g.model, todo, **kw,
+                )
             if self._hb is not None:
                 self._hb = hb
             self._parity = int(parity)
@@ -786,6 +1034,13 @@ class TemperingContainer:
         self._finalize()
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self.replicas % mesh.devices.size:
+            raise ValueError(
+                f"replicas {self.replicas} not divisible by mesh size "
+                f"{mesh.devices.size}"
+            )
+        self._mesh = mesh
+        self._mesh_axis = axis_name
         sse = self.graph.sse
         sh = type(sse)(
             ops=type(sse.ops)(

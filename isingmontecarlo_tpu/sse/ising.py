@@ -124,6 +124,25 @@ def sweep(
     assert bond_xor is None or n_rvb == 0, (
         "RVB updates do not support per-replica sign patterns (bond_xor)"
     )
+    return _sweep_impl(
+        sse, beta, model, hb, heatbath, rvb_tables, n_rvb, bond_scale,
+        cluster_caps, do_cluster, rvb_compact, bond_xor,
+    )
+
+
+def _sweep_impl(
+    sse, beta, model, hb, heatbath, rvb_tables, n_rvb, bond_scale,
+    cluster_caps, do_cluster, rvb_compact, bond_xor,
+):
+    """Sweep body. ``do_cluster`` may be a Python bool (static branch, the
+    public :func:`sweep` surface) or a traced scalar bool — then a NARROW
+    ``lax.cond`` wraps only the cluster+resample stage, so a thinned
+    ``multi_sweep`` scan compiles ONE sweep body plus one cluster copy
+    (the whole-sweep cond compiled two bodies and the nested-scan form two
+    diagonal bodies; both pushed 32²-sized programs over the remote compile
+    helper's ~20 MB hang threshold, MEASUREMENTS_r4.md). The RNG chain
+    splits before the branch, so any fixed flag schedule is bit-identical
+    across the three forms (tests/test_thinning.py)."""
     key, k_diag, k_rvb, k_clust, k_free = jax.random.split(sse.key, 5)
     ops = _diag.diagonal_update(
         sse.ops, sse.state, beta, k_diag, model, hb=hb, heatbath=heatbath,
@@ -139,7 +158,8 @@ def sweep(
         )
     else:
         succ = jnp.zeros((state.shape[0],), jnp.int32)
-    if not do_cluster:
+    static_flag = isinstance(do_cluster, bool)
+    if static_flag and not do_cluster:
         return SseState(ops=ops, state=state, key=key), succ
     if cluster_caps is not None:
         lc, ec = cluster_caps
@@ -153,16 +173,30 @@ def sweep(
         # cluster update only while caps are unknown — a few dispatches.
         lc = ops.bond.shape[0] + model.nvars + 1
         ec = None
-    # One segment-graph build serves the cluster update AND the free-spin
-    # resampling (a var has ops iff its worldline has a head leg; cluster
-    # flips never move ops, so the map stays valid for the new string).
-    sg = _cluster.segment_graph(ops, model)
-    has_op = (sg.head_f < ops.max_legs * ops.bond.shape[0]).T  # [R, N]
-    ops, state = _cluster._cluster_update_impl(
-        ops, state, k_clust, model, 0.5, lc, ec, sg, bond_xor=bond_xor
-    )
-    sse = SseState(ops=ops, state=state, key=key)
-    return resample_free_spins(sse, k_free, model, has_op=has_op), succ
+
+    def cluster_stage(ops, state):
+        # One segment-graph build serves the cluster update AND the
+        # free-spin resampling (a var has ops iff its worldline has a head
+        # leg; cluster flips never move ops, so the map stays valid for the
+        # new string).
+        sg = _cluster.segment_graph(ops, model)
+        has_op = (sg.head_f < ops.max_legs * ops.bond.shape[0]).T  # [R, N]
+        ops2, state2 = _cluster._cluster_update_impl(
+            ops, state, k_clust, model, 0.5, lc, ec, sg, bond_xor=bond_xor
+        )
+        out = resample_free_spins(
+            SseState(ops=ops2, state=state2, key=key), k_free, model,
+            has_op=has_op,
+        )
+        return out.ops, out.state
+
+    if static_flag:
+        ops, state = cluster_stage(ops, state)
+    else:
+        ops, state = jax.lax.cond(
+            do_cluster, cluster_stage, lambda o, s: (o, s), ops, state
+        )
+    return SseState(ops=ops, state=state, key=key), succ
 
 
 @functools.partial(
@@ -204,89 +238,22 @@ def multi_sweep(
 
     def body(carry, do_cluster):
         sse, succ = carry
-        if cluster_every == 1:
-            new, s = sweep(sse, beta, model, do_cluster=True, **kw)
-        else:
-            new, s = jax.lax.cond(
-                do_cluster,
-                lambda sse: sweep(sse, beta, model, do_cluster=True, **kw),
-                lambda sse: sweep(sse, beta, model, do_cluster=False, **kw),
-                sse,
-            )
+        # k=1 pins the flag statically (no cond); thinned schedules pass
+        # the traced per-sweep flag through — _sweep_impl wraps a NARROW
+        # lax.cond around just the cluster+resample stage, so the compiled
+        # program is one sweep body + one cluster copy for any nsweeps/k
+        # combination (whole-sweep cond and nested-scan forms both compiled
+        # a second sweep body, pushing 32²-sized thinned programs over the
+        # remote compile helper's ~20 MB hang threshold). Fixed schedule →
+        # bit-identical results (tests/test_thinning.py).
+        new, s = _sweep_impl(
+            sse, beta, model, do_cluster=True if cluster_every == 1
+            else do_cluster, **kw,
+        )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
 
     succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
-    if cluster_every > 1:
-        # Thinning via nested scans instead of a per-sweep ``lax.cond``:
-        # blocks of (k-1) cluster-less sweeps then one full sweep, plus a
-        # cluster-less tail scan for the ``nsweeps % k`` remainder. The cond
-        # form compiles BOTH sweep bodies into one branch pair on top of
-        # the cluster update's own overflow cond, tripling the cluster code
-        # in the program; the remote compile helper on the round-4 image
-        # hangs on programs past ~20 MB (MEASUREMENTS_r4.md) — the hang that
-        # ate the round-4 ess32 NS=40 k=6 row ran exactly the cond fallback
-        # this removes. Sweep order, per-sweep RNG-key chain, and outputs
-        # are identical to the cond form (cluster at every i with
-        # ``i % k == k-1``, diagonal-only elsewhere — including the tail),
-        # so results are bit-identical; only the compiled program shrinks.
-        k = cluster_every
-
-        def diag_body(carry, _):
-            sse, succ = carry
-            new, s = sweep(sse, beta, model, do_cluster=False, **kw)
-            out = (
-                _ops.op_count(new.ops),
-                new.state if collect_states else None,
-            )
-            return (new, succ + s), out
-
-        def block(carry, _):
-            carry, outs_d = jax.lax.scan(
-                diag_body, carry, None, length=k - 1
-            )
-            sse, succ = carry
-            new, s = sweep(sse, beta, model, do_cluster=True, **kw)
-            out_c = (
-                _ops.op_count(new.ops),
-                new.state if collect_states else None,
-            )
-            outs = jax.tree.map(
-                lambda d, c: jnp.concatenate([d, c[None]], axis=0),
-                outs_d,
-                out_c,
-            )
-            return (new, succ + s), outs
-
-        carry = (sse, succ0)
-        chunks_ns, chunks_st = [], []
-        if nsweeps // k:
-            carry, (ns_b, st_b) = jax.lax.scan(
-                block, carry, None, length=nsweeps // k
-            )
-            chunks_ns.append(ns_b.reshape(-1, *ns_b.shape[2:]))
-            if collect_states:
-                chunks_st.append(st_b.reshape(-1, *st_b.shape[2:]))
-        if nsweeps % k:
-            carry, (ns_t, st_t) = jax.lax.scan(
-                diag_body, carry, None, length=nsweeps % k
-            )
-            chunks_ns.append(ns_t)
-            if collect_states:
-                chunks_st.append(st_t)
-        sse, succ = carry
-        ns = (
-            chunks_ns[0] if len(chunks_ns) == 1
-            else jnp.concatenate(chunks_ns, axis=0)
-        )
-        states = None
-        if collect_states:
-            states = (
-                chunks_st[0] if len(chunks_st) == 1
-                else jnp.concatenate(chunks_st, axis=0)
-            )
-        return sse, ns, states, succ
-
     flags = (
         jnp.arange(nsweeps, dtype=jnp.int32) % cluster_every
         == cluster_every - 1
@@ -363,6 +330,11 @@ class QmcIsingGraph:
         # Cold start: the cutoff has not yet tracked n + n/2 — stepping
         # drivers begin in the per-step growth phase (see timesteps_measure).
         self._growth_pending = True
+        # No-growth streak persisted ACROSS driver calls: external drivers
+        # that step one timestep at a time (e.g. the tempering container's
+        # growth loop) could otherwise never observe two consecutive stable
+        # steps within one call, leaving _growth_pending True forever.
+        self._growth_stable = 0
         # Host-tracked static caps for the cluster label stage (monotone,
         # 16-quantized; see _maybe_grow). None until first measured.
         self._cluster_caps: tuple[int, int] | None = None
@@ -922,7 +894,7 @@ class QmcIsingGraph:
         total_n = jnp.zeros((self.replicas,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         steps_measured = 0
         done = 0
-        stable = 2 if not self._growth_pending else 0
+        stable = 2 if not self._growth_pending else self._growth_stable
         while done < timesteps:
             # Growth phase: the reference grows the cutoff after EVERY
             # timestep (``qmc_ising.rs:786``); fused chunks only check
@@ -957,6 +929,7 @@ class QmcIsingGraph:
             before = self.cutoff
             self._maybe_grow()
             stable = 0 if self.cutoff != before else stable + 1
+        self._growth_stable = stable
         self._growth_pending = stable < 2
         average_n = total_n / max(steps_measured, 1)
         return acc, self.get_energy_for_average_n(average_n, beta)

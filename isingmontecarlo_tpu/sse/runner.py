@@ -176,6 +176,7 @@ class Qmc:
         self.has_cluster_edges = False
         self.breaks_ising_symmetry = False
         self._growth_pending = True  # see QmcIsingGraph.timesteps_measure
+        self._growth_stable = 0  # no-growth streak, persists across calls
         self._cluster_caps: tuple[int, int] | None = None
         self._model: BondModel | None = None
         self._hb: _diag.HeatBathTables | None = None
@@ -434,7 +435,7 @@ class Qmc:
         truncated for a whole chunk biases the energy estimator."""
         total_n = jnp.zeros((self.replicas,), jnp.float32)
         done = 0
-        stable = 2 if not self._growth_pending else 0
+        stable = 2 if not self._growth_pending else self._growth_stable
         while done < t:
             todo = 1 if stable < 2 else min(chunk, t - done)
             before = self._ensure_sse().ops.cutoff
@@ -442,6 +443,7 @@ class Qmc:
             stable = 0 if self._ensure_sse().ops.cutoff != before else stable + 1
             total_n = total_n + jnp.sum(ns.astype(jnp.float32), axis=0)
             done += todo
+        self._growth_stable = stable
         self._growth_pending = stable < 2
         avg_n = total_n / t
         return -(avg_n / beta) + self.model.offset

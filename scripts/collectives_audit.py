@@ -34,8 +34,15 @@ sys.path.insert(0, "/root/repo")
 from isingmontecarlo_tpu import lattice
 from isingmontecarlo_tpu.parallel.tempering import (
     tempering_sweep_chunk,
+    tempering_sweep_chunk_sharded,
     tfim_bond_classes,
 )
+
+# Default audits the shard_map chunk (the multi-chip path); AUDIT_GSPMD=1
+# audits the plain-GSPMD chunk instead, which demonstrates WHY the explicit
+# shard_map exists: XLA's sharding propagation all-gathers [S, R] cluster-
+# label intermediates (196 KB/chunk measured at R=64 vs 16 KB yardstick).
+SHARDED = os.environ.get("AUDIT_GSPMD") != "1"
 from isingmontecarlo_tpu.sse import diagonal as _diag
 from isingmontecarlo_tpu.sse.ising import QmcIsingGraph
 
@@ -86,15 +93,26 @@ def audit(R: int, nsweeps: int = 4):
     hb = jax.device_put(hb, hb_sh)
     do_swap = jnp.ones((nsweeps,), bool)
 
-    def run(sse, betas, scales, hb):
-        out = tempering_sweep_chunk(
-            sse, betas, scales, jnp.int32(0), do_swap, model, nsweeps,
-            hb=hb, heatbath=True, hetero=True,
-        )
-        sse, betas, scales, _x, hb, _p, nswaps, ns, _s, _b = out
-        return sse, betas, scales, hb, nswaps, ns
+    if SHARDED:
+        def run(sse, betas, scales, hb):
+            out = tempering_sweep_chunk_sharded(
+                sse, betas, scales, jnp.int32(0), do_swap, model, nsweeps,
+                mesh=mesh, hb=hb, heatbath=True, hetero=True,
+            )
+            sse, betas, scales, _x, hb, _p, nswaps, ns, _s, _b = out
+            return sse, betas, scales, hb, nswaps, ns
 
-    jf = jax.jit(run)
+        jf = jax.jit(run)
+    else:
+        def run(sse, betas, scales, hb):
+            out = tempering_sweep_chunk(
+                sse, betas, scales, jnp.int32(0), do_swap, model, nsweeps,
+                hb=hb, heatbath=True, hetero=True,
+            )
+            sse, betas, scales, _x, hb, _p, nswaps, ns, _s, _b = out
+            return sse, betas, scales, hb, nswaps, ns
+
+        jf = jax.jit(run)
     lowered = jf.lower(sse, betas, scales, hb)
     compiled = lowered.compile()
     hlo = compiled.as_text()
@@ -121,6 +139,15 @@ def audit(R: int, nsweeps: int = 4):
     mr_bytes = 4 * g.cutoff * R
     print(f"  total collective bytes/chunk: {bytes_total}"
           f"  (one [M, R] op-bond tensor would be {mr_bytes})")
+    # Design assertion (shape-based): every collective must be a per-replica
+    # label vector [R] / label table [R, NB] / scalar — never an op-string
+    # or cluster-label intermediate (any dim derived from the cutoff M).
+    allowed_dims = {R, model.nbonds, 1}
+    bad = [
+        (kind, dtype, shape)
+        for (kind, dtype, shape), _ in counts.items()
+        if not set(shape or [1]) <= allowed_dims
+    ]
 
     # weak scaling: wall time per chunk (CPU mesh — indicative only)
     out = jf(sse, betas, scales, hb)
@@ -131,15 +158,19 @@ def audit(R: int, nsweeps: int = 4):
     dt = time.perf_counter() - t0
     print(f"  chunk wall time (warm): {dt * 1e3:.1f} ms"
           f" ({dt * 1e3 / nsweeps:.1f} ms/sweep)")
-    return bytes_total, mr_bytes
+    return bytes_total, bad
 
 
 if __name__ == "__main__":
     rs = [int(a) for a in sys.argv[1:]] or [64, 512]
     for R in rs:
-        b, mr = audit(R)
-        assert b < mr, (
-            f"collective traffic {b} B should be far below one [M, R] "
-            f"tensor {mr} B — replica-sharded sweeps must not communicate"
-        )
-    print("collectives_audit: OK (traffic is label-vector sized)")
+        b, bad = audit(R)
+        if SHARDED:
+            assert not bad, (
+                f"non-label-vector collectives found: {bad} — replica-"
+                f"sharded sweeps must only exchange (n, beta, scales) labels"
+            )
+    if SHARDED:
+        print("collectives_audit: OK (traffic is label-vector sized)")
+    else:
+        print("collectives_audit: GSPMD inventory printed (no assertion)")
