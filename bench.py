@@ -449,32 +449,59 @@ def _ess32_record(timeout_s: float) -> dict | None:
     # image REQUIRES PYTHONPATH=/root/.axon_site for the axon plugin;
     # earlier images required it absent).
     env = dict(os.environ)
-    try:
-        out = subprocess.run(
-            [sys.executable, "scripts/ess32.py", str(L), str(R), str(ns), str(k)],
-            timeout=timeout_s,
-            env=env,
-            cwd="/root/repo",
-            capture_output=True,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        print("bench: ess32 subprocess timed out", file=sys.stderr)
+
+    def attempt(k_eff: int, chunk: int, budget: float) -> dict | None:
+        if budget < 60:
+            return None
+        env_a = dict(env)
+        if chunk:
+            env_a["ISING_ESS_CHUNK"] = str(chunk)
+        try:
+            out = subprocess.run(
+                [sys.executable, "scripts/ess32.py", str(L), str(R),
+                 str(ns), str(k_eff)],
+                timeout=budget,
+                env=env_a,
+                cwd="/root/repo",
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print("bench: ess32 subprocess timed out", file=sys.stderr)
+            return None
+        print(out.stdout, file=sys.stderr)
+        if out.returncode != 0:
+            print(f"bench: ess32 failed rc={out.returncode}", file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            return None
+        for line in out.stdout.splitlines():
+            if "ESS/s=" in line:
+                ess = float(line.split("ESS/s=")[1].split()[0])
+                return {
+                    "sse32_ess_per_sec": ess,
+                    "sse32_vs_single_core": ess / BASELINE_ESS32_PER_SEC,
+                    "sse32_cfg": {
+                        "replicas": R, "nsweeps": ns,
+                        "cluster_every": 1 if chunk else k_eff,
+                        "chunked": bool(chunk),
+                    },
+                }
         return None
-    print(out.stdout, file=sys.stderr)
-    if out.returncode != 0:
-        print(f"bench: ess32 failed rc={out.returncode}", file=sys.stderr)
-        print(out.stderr[-2000:], file=sys.stderr)
-        return None
-    for line in out.stdout.splitlines():
-        if "ESS/s=" in line:
-            ess = float(line.split("ESS/s=")[1].split()[0])
-            return {
-                "sse32_ess_per_sec": ess,
-                "sse32_vs_single_core": ess / BASELINE_ESS32_PER_SEC,
-                "sse32_cfg": {"replicas": R, "nsweeps": ns, "cluster_every": k},
-            }
-    return None
+
+    t0 = time.monotonic()
+    # Reserve ~7 min of the budget for the cached-program fallback: a wedged
+    # compile eats whatever it is given, and the fallback needs real time.
+    rec = attempt(k, 0, max(timeout_s - 420, 180))
+    if rec is None:
+        # The remote compile helper wedges on NEW 32^2-sized program shapes
+        # (MEASUREMENTS_r4.md); the chunked fallback reuses the already-
+        # cached cap-less growth program — zero new compiles, ~15%
+        # pessimistic, but it lands a real driver-visible ESS number.
+        left = timeout_s - (time.monotonic() - t0)
+        print("bench: retrying ess32 with cached-program chunking",
+              file=sys.stderr)
+        rec = attempt(1, 2, min(left, 900))
+    return rec
 
 
 def main() -> None:

@@ -82,21 +82,42 @@ for R in R_LIST:
         stable = stable + 1 if g.cutoff == before else 0
         if stable >= 2:
             break
-    for _ in range(2):
-        g.sse, ns, _, _ = multi_sweep(
-            g.sse, beta, g.model, NS,
-            cluster_caps=g._cluster_caps, cluster_every=CK,
+    # ISING_ESS_CHUNK=c: run the timed region as NS/c host-chunked
+    # dispatches of the SAME cap-less c-sweep program the growth phase runs
+    # — zero new XLA programs. Escape hatch for the round-4 remote compile
+    # helper, which wedges for 30+ min on new 32^2 R=512 program shapes
+    # (MEASUREMENTS_r4.md): the chunked rate pays ~28-60 ms tunnel latency
+    # per dispatch (honest but ~10-20% pessimistic vs the fused program)
+    # and forces cluster_every=1 (the cached program's composition).
+    CHUNK = int(os.environ.get("ISING_ESS_CHUNK", "0"))
+
+    def timed_rep(sse):
+        if not CHUNK:
+            return multi_sweep(
+                sse, beta, g.model, NS,
+                cluster_caps=g._cluster_caps, cluster_every=CK,
+            )
+        parts = []
+        for _ in range(NS // CHUNK):
+            sse, ns_c, _, _ = multi_sweep(sse, beta, g.model, CHUNK)
+            parts.append(ns_c)
+        return sse, jnp.concatenate(parts, axis=0), None, None
+
+    if CHUNK:
+        assert NS % CHUNK == 0, "NS must be a multiple of ISING_ESS_CHUNK"
+        print(
+            f"(chunked timing: {NS//CHUNK} x {CHUNK}-sweep cached dispatches,"
+            f" cluster_every=1)", file=sys.stderr,
         )
+    for _ in range(2):
+        g.sse, ns, _, _ = timed_rep(g.sse)
         float(jnp.sum(ns))
         g._maybe_grow()
     best = float("inf")
     ns_all = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        g.sse, ns, _, _ = multi_sweep(
-            g.sse, beta, g.model, NS,
-            cluster_caps=g._cluster_caps, cluster_every=CK,
-        )
+        g.sse, ns, _, _ = timed_rep(g.sse)
         float(jnp.sum(ns))
         best = min(best, time.perf_counter() - t0)
         ns_all.append(np.asarray(ns))
@@ -104,7 +125,8 @@ for R in R_LIST:
     ess = effective_sample_size(series)
     ess_rate = ess / (best * len(ns_all))
     print(
-        f"R={R:<5} k={CK} cutoff={g.cutoff:<6} {R * NS / best:10,.0f} replica-sweeps/s"
+        f"R={R:<5} k={1 if CHUNK else CK} cutoff={g.cutoff:<6}"
+        f" {R * NS / best:10,.0f} replica-sweeps/s"
         f"  tau={series.size / ess:5.2f}  ESS/s={ess_rate:9.1f}"
         f"  vs_single_core={ess_rate / DENOM_ESS_PER_SEC:7.2f}x"
     )
