@@ -455,7 +455,18 @@ def _ess32_record(timeout_s: float) -> dict | None:
             return None
         env_a = dict(env)
         if chunk:
+            # Legacy cached-program fallback: cap-less growth-program
+            # chunking (ISING_ESS_NOPIN disables the pinned path so the
+            # dispatched shapes are exactly the cap-less ones).
             env_a["ISING_ESS_CHUNK"] = str(chunk)
+            env_a["ISING_ESS_NOPIN"] = "1"
+        else:
+            # Pinned primary: scripts/ess32.py dispatches ONE program shape
+            # (steady-state cutoff + cluster caps from its _PINS table),
+            # pre-warmed in-session into the persistent cache. Make sure no
+            # inherited env silently switches the mode (ADVICE r4).
+            env_a.pop("ISING_ESS_CHUNK", None)
+            env_a.pop("ISING_ESS_NOPIN", None)
         try:
             out = subprocess.run(
                 [sys.executable, "scripts/ess32.py", str(L), str(R),

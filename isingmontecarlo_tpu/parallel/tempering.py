@@ -172,7 +172,6 @@ def tfim_bond_classes(nedges: int, nvars: int, nbonds: int) -> jax.Array:
     return jnp.asarray(cls)
 
 
-@jax.jit
 def _pair_starts(rank: jax.Array, parity: jax.Array, R: int) -> jax.Array:
     """Rank-space mask of pair-start ranks for one alternating-parity
     neighbor-swap sweep (``swap_on_chunks``, ``tempering_container.rs:274-302``)."""
@@ -197,6 +196,7 @@ def candidate_partner(betas: jax.Array, parity: jax.Array) -> jax.Array:
     return jnp.zeros((R,), jnp.int32).at[order].set(order[cand_rank])
 
 
+@jax.jit
 def tempering_step(
     n: jax.Array,  # i32[R] op counts
     betas: jax.Array,  # f32[R]
@@ -258,6 +258,8 @@ def tempering_step(
             ops, model, scales, xors, scales[cpart], xors[cpart]
         )
     if delta is not None:
+        if blocked is None:
+            blocked = jnp.zeros((R,), bool)
         d_sorted = delta[order]
         blk_sorted = blocked[order]
         logp = logp + d_sorted + jnp.roll(d_sorted, -1)
@@ -432,6 +434,7 @@ def tempering_sweep_chunk(
 def _sharded_chunk_fn(
     mesh, axis_name: str, nsweeps: int, heatbath: bool, hetero: bool,
     collect_states: bool, cluster_caps, signed: bool, hb_kind: str,
+    debug_rep_check: bool = False,
 ):
     """Build (and cache) the jitted ``shard_map`` tempering chunk for one
     static configuration. See :func:`tempering_sweep_chunk_sharded`."""
@@ -531,8 +534,23 @@ def _sharded_chunk_fn(
         ) = jax.lax.scan(body, carry0, xs, length=nsweeps)
         # Advance the replicated key past every per-sweep stream.
         sse = sse._replace(key=jax.random.fold_in(base_key, nsweeps))
-        return (sse, betas, scales, xors, hb, parity, nswaps, ns, states,
+        outs = (sse, betas, scales, xors, hb, parity, nswaps, ns, states,
                 betas_t)
+        if debug_rep_check:
+            # Replication-invariant fingerprint (``check_vma=False`` disables
+            # the static check): every value computed redundantly per device
+            # from replicated inputs — swap count, parity, advanced key —
+            # broadcast along the local replica rows with a P(ax, None) out
+            # spec. Outside, the [R, 3] rows are identical iff every device
+            # really did compute the same replicated values (tested on the
+            # CPU mesh; see tests/test_tempering_sharded.py).
+            fp = jnp.stack([
+                nswaps.astype(jnp.float32),
+                parity.astype(jnp.float32),
+                jnp.sum(jax.random.key_data(sse.key).astype(jnp.float32)),
+            ])
+            outs = outs + (jnp.broadcast_to(fp, (R_l, 3)),)
+        return outs
 
     rep = P()
     sse_spec_t = {
@@ -564,6 +582,8 @@ def _sharded_chunk_fn(
             P(None, ax, None) if collect_states else rep,
             P(None, ax) if collect_states else rep,
         )
+        if debug_rep_check:
+            out_specs = out_specs + (P(ax, None),)
         return in_specs, out_specs
 
     def run(sse, betas, scales, xors, hb, parity, do_swap, model):
@@ -594,6 +614,7 @@ def tempering_sweep_chunk_sharded(
     collect_states: bool = False,
     cluster_caps: tuple[int, int] | None = None,
     xors: jax.Array | None = None,
+    debug_rep_check: bool = False,
 ):
     """:func:`tempering_sweep_chunk` under an explicit ``jax.shard_map``
     over ``mesh``'s ``axis_name`` axis: every sweep op is forced
@@ -630,7 +651,7 @@ def tempering_sweep_chunk_sharded(
         hb_kind = "shared"
     fn = _sharded_chunk_fn(
         mesh, axis_name, nsweeps, heatbath, hetero, collect_states,
-        cluster_caps, signed, hb_kind,
+        cluster_caps, signed, hb_kind, debug_rep_check,
     )
     return fn(sse, betas, scales, xors, hb, parity, do_swap, model)
 

@@ -221,6 +221,7 @@ def multi_sweep(
     cluster_every: int = 1,
     rvb_compact: int | None = None,
     bond_xor: jax.Array | None = None,
+    cluster_flags: jax.Array | None = None,
 ):
     """Run ``nsweeps`` timesteps under one jit; returns per-sweep op counts
     ``i32[T, R]`` (for the energy estimator), optionally sampled states
@@ -229,12 +230,19 @@ def multi_sweep(
     ``cluster_every=k`` runs the (expensive) cluster update + free-spin
     resample on every k-th timestep only — a throughput/autocorrelation
     trade measurable with ``scripts/ess32.py``; ``k=1`` is the reference
-    composition."""
+    composition. ``cluster_flags`` (``bool[nsweeps]``, TRACED) overrides
+    the static schedule: one compiled program then serves EVERY thinning
+    factor — on this image each 32²-sized recompile costs minutes on a
+    single core, so the k-ladder measurement runs k∈{1..6} against a single
+    cached program (scripts/ess32.py). Same fixed-schedule detailed-balance
+    argument; bit-identical to the static form for matching schedules
+    (tests/test_thinning.py)."""
     kw = dict(
         hb=hb, heatbath=heatbath, rvb_tables=rvb_tables, n_rvb=n_rvb,
         bond_scale=bond_scale, cluster_caps=cluster_caps,
         rvb_compact=rvb_compact, bond_xor=bond_xor,
     )
+    static_all = cluster_every == 1 and cluster_flags is None
 
     def body(carry, do_cluster):
         sse, succ = carry
@@ -247,17 +255,20 @@ def multi_sweep(
         # remote compile helper's ~20 MB hang threshold). Fixed schedule →
         # bit-identical results (tests/test_thinning.py).
         new, s = _sweep_impl(
-            sse, beta, model, do_cluster=True if cluster_every == 1
+            sse, beta, model, do_cluster=True if static_all
             else do_cluster, **kw,
         )
         out = (_ops.op_count(new.ops), new.state if collect_states else None)
         return (new, succ + s), out
 
     succ0 = jnp.zeros((sse.state.shape[0],), jnp.int32)
-    flags = (
-        jnp.arange(nsweeps, dtype=jnp.int32) % cluster_every
-        == cluster_every - 1
-    )
+    if cluster_flags is not None:
+        flags = cluster_flags
+    else:
+        flags = (
+            jnp.arange(nsweeps, dtype=jnp.int32) % cluster_every
+            == cluster_every - 1
+        )
     (sse, succ), (ns, states) = jax.lax.scan(
         body, (sse, succ0), flags, length=nsweeps
     )

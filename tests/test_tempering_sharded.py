@@ -136,6 +136,35 @@ def test_sharded_replicas_draw_independent_streams():
     assert not np.array_equal(bonds[:, 0], bonds[:, 1])
 
 
+def test_sharded_replication_invariant_fingerprint():
+    """``check_vma=False`` disables shard_map's static replication check, so
+    the chunk's correctness claim — perm/nswaps/parity/key are computed
+    redundantly and IDENTICALLY on every device from replicated inputs — is
+    guarded here dynamically: ``debug_rep_check=True`` emits each device's
+    fingerprint of its replicated values broadcast along its local replica
+    rows; all R rows must agree."""
+    from isingmontecarlo_tpu.parallel.tempering import (
+        tempering_sweep_chunk_sharded,
+    )
+
+    mesh = _mesh()
+    R = 16
+    g = QmcIsingGraph(
+        lattice.square(4, 4, j=1.0), transverse=1.0, cutoff=64,
+        replicas=R, seed=9,
+    )
+    betas = jnp.asarray(np.linspace(0.6, 2.0, R), jnp.float32)
+    scales = jnp.ones((R, g.model.nbonds), jnp.float32)
+    nsweeps = 4
+    out = tempering_sweep_chunk_sharded(
+        g.sse, betas, scales, jnp.int32(0), jnp.ones((nsweeps,), bool),
+        g.model, nsweeps, mesh=mesh, debug_rep_check=True,
+    )
+    fp = np.asarray(out[-1])  # [R, 3]
+    assert fp.shape == (R, 3)
+    np.testing.assert_array_equal(fp, np.broadcast_to(fp[:1], fp.shape))
+
+
 def test_growth_pending_clears_under_single_step_calls():
     """Regression: the no-growth streak persists across driver calls, so
     repeated ``timesteps(1)`` eventually clears ``_growth_pending`` (it was

@@ -56,6 +56,25 @@ def test_nested_thinning_bit_identical_to_sweep_composition(k, ns):
     assert jnp.array_equal(sse_a.state, sse_b.state)
 
 
+@pytest.mark.parametrize("k,ns", [(1, 6), (3, 7)])
+def test_traced_cluster_flags_bit_identical_to_static_schedule(k, ns):
+    """``cluster_flags`` (traced schedule; ONE compiled program for every
+    thinning factor, the compile-cost fix for the 32² k-ladder) must be
+    bit-identical to the static ``cluster_every=k`` form."""
+    g, beta = _equilibrated()
+    sse_a, ns_a, _, succ_a = multi_sweep(
+        g.sse, beta, g.model, ns, cluster_every=k
+    )
+    flags = jnp.arange(ns, dtype=jnp.int32) % k == k - 1
+    sse_b, ns_b, _, succ_b = multi_sweep(
+        g.sse, beta, g.model, ns, cluster_flags=flags
+    )
+    assert jnp.array_equal(ns_a, ns_b)
+    assert jnp.array_equal(succ_a, succ_b)
+    assert jnp.array_equal(sse_a.ops.bond, sse_b.ops.bond)
+    assert jnp.array_equal(sse_a.state, sse_b.state)
+
+
 def test_nested_thinning_collect_states_shape_and_order():
     g, beta = _equilibrated()
     _, ns_a, st_a, _ = multi_sweep(
