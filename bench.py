@@ -439,8 +439,13 @@ def _ess32_record(timeout_s: float) -> dict | None:
     cluster_every) defaults to the measured throughput/autocorrelation
     optimum and can be overridden with ISING_BENCH_ESS_CFG="R,NS,K[,L]"
     (the optional L shrinks the lattice for CPU smoke drives)."""
+    # Default config: the measured k-ladder optimum at the largest replica
+    # count whose 32^2 program COMPILES on this image (R=512/256 programs
+    # wedge the remote compile helper 30+ min — see MEASUREMENTS_r5.md; the
+    # R=64 program compiles in ~4 min and is pinned + pre-warmed, so the
+    # driver's run dispatches a cached program).
     cfg = [int(x) for x in os.environ.get(
-        "ISING_BENCH_ESS_CFG", "512,24,6"
+        "ISING_BENCH_ESS_CFG", "64,24,8"
     ).split(",")]
     R, ns, k = cfg[:3]
     L = cfg[3] if len(cfg) > 3 else 32
@@ -470,7 +475,7 @@ def _ess32_record(timeout_s: float) -> dict | None:
         try:
             out = subprocess.run(
                 [sys.executable, "scripts/ess32.py", str(L), str(R),
-                 str(ns), str(k_eff)],
+                 str(ns), str(k_eff), "6"],
                 timeout=budget,
                 env=env_a,
                 cwd="/root/repo",
