@@ -131,6 +131,30 @@ print(f"device: {jax.devices()[0]}", file=sys.stderr)
 edges = lattice.bench_two_d_periodic(L)
 beta = jnp.float32(1.0)
 
+
+def retry_dispatch(fn, *args, tries: int = 4, **kw):
+    """Retry a jitted dispatch through the flaky remote-compile tunnel.
+
+    Measured on this image (2026-08-21, MEASUREMENTS_r5.md): compiles POST
+    to the terminal over the relay, and responses for big programs get cut
+    mid-stream (``remote_compile: read body: response body closed``) when
+    the compile outlives some proxy timeout — but the TERMINAL keeps a
+    staged compile cache, so an immediate retry of the same program usually
+    returns the finished executable in seconds-to-minutes. Retrying turns
+    a hard failure into a short wait."""
+    for attempt in range(tries):
+        try:
+            return fn(*args, **kw)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == tries - 1:
+                raise
+            print(
+                f"(dispatch failed [{type(e).__name__}: "
+                f"{str(e).splitlines()[0][:120]}]; retry "
+                f"{attempt + 1}/{tries - 1} in 15 s)", file=sys.stderr,
+            )
+            time.sleep(15)
+
 for R in R_LIST:
     pin = _get_pin(R)
     # ISING_ESS_CHUNK=c: dispatch the timed region as NS/c host-chunked
@@ -162,8 +186,8 @@ for R in R_LIST:
         def timed_rep(sse):
             parts = []
             for _ in range(NS // chunk):
-                sse, ns_c, _, _ = multi_sweep(
-                    sse, beta, g.model, chunk,
+                sse, ns_c, _, _ = retry_dispatch(
+                    multi_sweep, sse, beta, g.model, chunk,
                     cluster_caps=caps_pin, cluster_flags=flags,
                 )
                 parts.append(ns_c)
@@ -177,7 +201,9 @@ for R in R_LIST:
         )
         stable = 0
         for _ in range(40):
-            g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, 2)
+            g.sse, ns, _, _ = retry_dispatch(
+                multi_sweep, g.sse, beta, g.model, 2
+            )
             float(jnp.sum(ns))
             before = g.cutoff
             g._maybe_grow()
@@ -187,13 +213,15 @@ for R in R_LIST:
 
         def timed_rep(sse):
             if not CHUNK:
-                return multi_sweep(
-                    sse, beta, g.model, NS,
+                return retry_dispatch(
+                    multi_sweep, sse, beta, g.model, NS,
                     cluster_caps=g._cluster_caps, cluster_every=CK,
                 )
             parts = []
             for _ in range(NS // CHUNK):
-                sse, ns_c, _, _ = multi_sweep(sse, beta, g.model, CHUNK)
+                sse, ns_c, _, _ = retry_dispatch(
+                    multi_sweep, sse, beta, g.model, CHUNK
+                )
                 parts.append(ns_c)
             return sse, jnp.concatenate(parts, axis=0), None, None
 
