@@ -442,10 +442,10 @@ def _ess32_record(timeout_s: float) -> dict | None:
     # Default config: the measured k-ladder optimum at the largest replica
     # count whose 32^2 program COMPILES on this image (R=512/256 programs
     # wedge the remote compile helper 30+ min — see MEASUREMENTS_r5.md; the
-    # R=64 program compiles in ~4 min and is pinned + pre-warmed, so the
-    # driver's run dispatches a cached program).
+    # R=64/128 programs compile in ~4-8 min and are pinned + pre-warmed, so
+    # the driver's run dispatches a cached program).
     cfg = [int(x) for x in os.environ.get(
-        "ISING_BENCH_ESS_CFG", "64,24,8"
+        "ISING_BENCH_ESS_CFG", "128,24,8"
     ).split(",")]
     R, ns, k = cfg[:3]
     L = cfg[3] if len(cfg) > 3 else 32
