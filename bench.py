@@ -444,8 +444,13 @@ def _ess32_record(timeout_s: float) -> dict | None:
     # wedge the remote compile helper 30+ min — see MEASUREMENTS_r5.md; the
     # R=64/128 programs compile in ~4-8 min and are pinned + pre-warmed, so
     # the driver's run dispatches a cached program).
+    # NS=72 x reps=4 = 288 samples/replica >= 50*tau at the honest
+    # long-series tau ~5.1-5.3 (short series truncate the autocorrelation
+    # tail and overstate ESS — MEASUREMENTS_r5.md), and the longer fused
+    # scan amortizes the ~40-60 ms/dispatch tunnel overhead (+12%
+    # throughput over NS=24).
     cfg = [int(x) for x in os.environ.get(
-        "ISING_BENCH_ESS_CFG", "128,24,8"
+        "ISING_BENCH_ESS_CFG", "128,72,8"
     ).split(",")]
     R, ns, k = cfg[:3]
     L = cfg[3] if len(cfg) > 3 else 32
@@ -475,7 +480,7 @@ def _ess32_record(timeout_s: float) -> dict | None:
         try:
             out = subprocess.run(
                 [sys.executable, "scripts/ess32.py", str(L), str(R),
-                 str(ns), str(k_eff), "6"],
+                 str(ns), str(k_eff), "4"],
                 timeout=budget,
                 env=env_a,
                 cwd="/root/repo",
