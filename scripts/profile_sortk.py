@@ -90,17 +90,34 @@ for rows, nops in ([(512, 1)] if _INTERP else [(8192, 1), (13760, 2), (16384, 2)
 
 # --- 3) cluster path A/B ------------------------------------------------------
 edges = lattice.bench_two_d_periodic(L)
-g = QmcIsingGraph(edges, transverse=1.0, replicas=R, seed=7)
+# Steady-state pin (see scripts/ess32.py): avoid cold growth-shape compiles.
+import json
+
+try:
+    with open("/root/repo/.ess32_pins.json") as _f:
+        _pin = json.load(_f).get(f"{L},{R}")
+except (OSError, ValueError):
+    _pin = None
+g = QmcIsingGraph(
+    edges, transverse=1.0, replicas=R, seed=7,
+    cutoff=_pin[0] if _pin else None,
+)
+if _pin:
+    g._cluster_caps = (_pin[1], _pin[2])
 beta = jnp.float32(1.0)
 stable = 0
-for i in range(40):
+for i in range(60 if _pin else 40):
     g.sse, ns, _, _ = multi_sweep(g.sse, beta, g.model, 2)
     float(jnp.sum(ns))
     before = g.cutoff
     g._maybe_grow()
+    if _pin:
+        continue
     stable = stable + 1 if g.cutoff == before else 0
     if stable >= 2:
         break
+if _pin:
+    g._cluster_caps = tuple(_pin[1:])
 print(f"cutoff={g.cutoff} caps={g._cluster_caps}", file=sys.stderr)
 ops0, state0, model = g.sse.ops, g.sse.state, g.model
 lc, ec = g._cluster_caps
