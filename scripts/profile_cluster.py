@@ -198,12 +198,22 @@ marginal("cluster_update total", lambda c, i: c + jnp.sum(
     )[1]
 ))
 
+# The sweep bodies must depend on ``i`` through the OPS (bond + (i >> 30)),
+# not just the RNG key: with constant ops XLA hoists the ops-derived work
+# (weight tables, segment build) out of the scan and the row undercounts —
+# the round-5 R=64 profile's 1.05/1.12 ms "sweeps" were this artifact.
 marginal("diag-only sweep", lambda c, i: c + jnp.sum(sweep(
-    sse._replace(key=jax.random.key(i)), beta, model,
+    sse._replace(
+        ops=ops0._replace(bond=ops0.bond + (i >> 30)),
+        key=jax.random.key(i),
+    ), beta, model,
     cluster_caps=(lc, ec), do_cluster=False,
 )[0].ops.bond))
 
 marginal("full sweep", lambda c, i: c + jnp.sum(sweep(
-    sse._replace(key=jax.random.key(i)), beta, model, cluster_caps=(lc, ec),
+    sse._replace(
+        ops=ops0._replace(bond=ops0.bond + (i >> 30)),
+        key=jax.random.key(i),
+    ), beta, model, cluster_caps=(lc, ec),
 )[0].ops.bond))
 print(f"done cutoff={g.cutoff} caps={g._cluster_caps}")
