@@ -527,9 +527,12 @@ def _ess32_record(timeout_s: float) -> dict | None:
         return None
 
     t0 = time.monotonic()
-    # Reserve ~7 min of the budget for the cached-program fallback: a wedged
+    # Reserve ~5 min of the budget for the cached-program fallback: a wedged
     # compile eats whatever it is given, and the fallback needs real time.
-    rec = attempt(k, 0, max(timeout_s - 420, 180))
+    # The pinned primary gets the lion's share — on a fresh VM (cold cache)
+    # its ONE program costs ~5-6 min of remote compile incl. retries
+    # (MEASUREMENTS_r5.md), and it is the attempt that actually lands.
+    rec = attempt(k, 0, max(timeout_s - 300, 240))
     if rec is None:
         # The remote compile helper wedges on NEW 32^2-sized program shapes
         # (MEASUREMENTS_r4.md); the chunked fallback reuses the already-
@@ -597,7 +600,7 @@ def main() -> None:
     # (duplicate-tolerant: both lines are valid records, the later one is a
     # superset of the earlier).
     if dev.platform == "tpu" and not args.smoke and not args.no_sse:
-        ess_budget = min(900.0, _remaining_budget() - 60.0)
+        ess_budget = min(1200.0, _remaining_budget() - 60.0)
         if ess_budget > 180.0:
             ess = _ess32_record(timeout_s=ess_budget)
             if ess:
