@@ -327,13 +327,18 @@ def bench_suite(json_path: str | None = None) -> None:
         # number of fused calls under-equilibrates deep strings, e.g. the
         # beta=100 rvb_cold rows), then the fused warm rounds.
         stable = 0
-        for _ in range(40):
+        # RVB rows grow n slowly (acceptance-limited), so two quiet rounds
+        # can be a false plateau — require a longer stable streak there
+        # (round-5 suite measured rvb_04 at n~716 vs the true ~821 with the
+        # short streak).
+        need = 6 if rvb else 2
+        for _ in range(60 if rvb else 40):
             g.sse, ns, _, _ = retry(multi_sweep, g.sse, b, g.model, 2, **kw)
             jax.block_until_ready(ns)
             before = g.cutoff
             g._maybe_grow()
             stable = stable + 1 if g.cutoff == before else 0
-            if stable >= 2:
+            if stable >= need:
                 break
         for _ in range(2):
             g.sse, ns, _, _ = retry(multi_sweep, g.sse, b, g.model, warm, **kw)
