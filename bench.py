@@ -288,9 +288,15 @@ def bench_suite(json_path: str | None = None) -> None:
         # multi-minute remote compile — are skipped entirely.
         "two_d_32": 6944,
         "two_d_heatbath_32": 6944,
-        "two_d_rvb_32": 55000,
-        "two_d_rvb_cold_7": 24000,
-        "two_d_rvb_cold_8": 32000,
+        # beta-scaled from measured rvb_04/06 equilibria (n/site/beta ~4.4,
+        # cutoff ~1.5n): cold growth from a bare start costs 6-9 reshapes
+        # x multi-minute remote compiles per row.
+        "two_d_rvb_cold_4": 11000,
+        "two_d_rvb_cold_5": 17500,
+        "two_d_rvb_cold_6": 24000,
+        "two_d_rvb_32": 68000,
+        "two_d_rvb_cold_7": 33000,
+        "two_d_rvb_cold_8": 43000,
     }
 
     def retry(fn, *a, tries=3, **k):
