@@ -392,7 +392,24 @@ def bench_suite(json_path: str | None = None) -> None:
             with open(json_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
+    skip = set(
+        s for s in os.environ.get("ISING_SUITE_SKIP", "").split(",") if s
+    )
+    done = set()
+    if json_path and os.environ.get("ISING_SUITE_RESUME") == "1":
+        # Resume: skip rows already recorded in the JSONL (a wedged remote
+        # compile can eat a row's budget silently — see MEASUREMENTS_r5.md;
+        # the restart then re-runs only what is missing).
+        try:
+            with open(json_path) as f:
+                done = {json.loads(ln)["workload"] for ln in f if ln.strip()}
+        except OSError:
+            pass
+
     def safe(name, *a, **kw):
+        if name.split()[0] in skip or name.split()[0] in done:
+            print(f"  {name:<28} skipped", file=sys.stderr)
+            return
         try:
             measure(name, *a, **kw)
         except Exception as e:
