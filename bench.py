@@ -442,12 +442,16 @@ def bench_suite(json_path: str | None = None) -> None:
             10.0, 64 if L < 16 else 16, rvb=(n + 1) // 2, warm=4,
         )
     # Cold RVB (beta=100, benches/end_to_end.rs:336-429): deep op strings,
-    # more warm rounds to grow the cutoff to steady state.
-    for L in (4, 5, 6):
+    # more warm rounds to grow the cutoff to steady state. Replica counts
+    # shrink with depth: remote compiles of [cutoff, R] RVB programs wedge
+    # past roughly [17k, 64] elements (MEASUREMENTS_r5.md; [17k, 16] and
+    # [11k, 64] both compile) — the metric is per-replica, so smaller R
+    # trades only batch amortization, not validity.
+    for L, R_cold in ((4, 64), (5, 16), (6, 16)):
         n = L * L
         safe(
             f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
-            100.0, 64 if L < 6 else 32, rvb=(n + 1) // 2, warm=10,
+            100.0, R_cold, rvb=(n + 1) // 2, warm=10,
         )
     # Last: these program sizes intermittently crash the tunnel's TPU worker
     # (see CLAUDE.md); running them last keeps the rest of the table intact.
@@ -460,7 +464,7 @@ def bench_suite(json_path: str | None = None) -> None:
     # bounds the edge axis at MAX_POPS*degree, but M is still tens of
     # thousands of slots and the tunnel worker may crash; each row is
     # independently `safe`).
-    for L, R_rvb, warm in ((7, 16, 10), (8, 16, 10)):
+    for L, R_rvb, warm in ((7, 8, 10), (8, 8, 10)):
         n = L * L
         safe(
             f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
@@ -468,7 +472,7 @@ def bench_suite(json_path: str | None = None) -> None:
         )
     safe(
         "two_d_rvb_32 (beta=10)", lattice.bench_two_d_periodic(32),
-        10.0, 4, rvb=(32 * 32 + 1) // 2, warm=2,
+        10.0, 2, rvb=(32 * 32 + 1) // 2, warm=2,
     )
 
 
