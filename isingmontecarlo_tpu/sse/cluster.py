@@ -205,30 +205,14 @@ _SORT_BIG = jnp.int32(2**30)
 # auto (TPU backend and label space under the one-hot breakeven).
 _FORCE_MM_STATS = None
 
-# The in-VMEM bitonic sort kernel (ops/sort_kernel.py): replaces the
-# lax.sort calls on the cluster hot path (leg sort, back-permute, head
-# compaction, edge pack, hook-round scatter-min) with VMEM-resident
-# bitonic networks, packing id payloads into single int32 operands
-# (requires the label space S <= 2^14; all ids then fit 15-bit fields).
-# Off by default until TPU-validated (ISING_SORT_KERNEL=1 enables;
-# _FORCE_SORT_KERNEL is the test hook, which also drives interpret mode
-# off-TPU).
-_SORT_KERNEL_DEFAULT = os.environ.get("ISING_SORT_KERNEL", "") == "1"
-_FORCE_SORT_KERNEL = None
-
-_PACK_MAX = 1 << 14  # ids must fit 15-bit fields with headroom
-
-
-def _use_sort_kernel() -> bool:
-    if _FORCE_SORT_KERNEL is not None:
-        return _FORCE_SORT_KERNEL
-    return _SORT_KERNEL_DEFAULT and jax.default_backend() == "tpu"
-
-
-def _ksort(*ops):
-    from isingmontecarlo_tpu.ops.sort_kernel import sort_rows
-
-    return sort_rows(*ops, interpret=jax.default_backend() != "tpu")
+# An in-VMEM bitonic sort kernel (ops/sort_kernel.py, packed-payload
+# _ksort branches here) was built in round 2, hardware-validated bit-exact
+# in round 5, measured, and DELETED: at the production shapes XLA's
+# lax.sort is 5-10x FASTER than the Pallas bitonic network on this
+# toolchain ([8192,128]x1: 0.18 vs 1.88 ms; [13760,128]x2: 1.25 vs 7.80 ms
+# — MEASUREMENTS_r5.md, 2026-08-22). The O(n log^2 n) compare-exchange
+# count loses to XLA's multi-pass merge despite staying in VMEM. See git
+# history for the kernel and its call sites.
 
 
 # The Pallas gather kernel (ops/take_kernel.py) runs by default on TPU:
@@ -305,20 +289,9 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
     iota_f = jnp.broadcast_to(jnp.arange(KM, dtype=jnp.int32)[:, None], (KM, R))
     edge_leg = jnp.broadcast_to(is_edge[None], (K, M, R)).reshape(KM, R)
 
-    use_ksort = (
-        _use_sort_kernel() and KM <= (1 << 14) and S <= _PACK_MAX
+    skey, order, edge_s = jax.lax.sort(
+        (key, iota_f, edge_leg.astype(jnp.int32)), dimension=0, num_keys=1
     )
-    if use_ksort:
-        # Flat index and edge flag packed into one 15-bit+1 payload; tie
-        # order among invalid (key = _SORT_BIG) legs is arbitrary under the
-        # bitonic network, which every consumer tolerates (invalid rows map
-        # to the dump segment and `order` stays a bijection).
-        skey, pay = _ksort(key, (iota_f << 1) | edge_leg.astype(jnp.int32))
-        order, edge_s = pay >> 1, pay & 1
-    else:
-        skey, order, edge_s = jax.lax.sort(
-            (key, iota_f, edge_leg.astype(jnp.int32)), dimension=0, num_keys=1
-        )
     valid_j = skey < _SORT_BIG
     svar = jnp.where(valid_j, skey // M, -1)
     seg_start = jnp.concatenate(
@@ -344,13 +317,9 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
 
     # Back-permute sorted-space segment ids to flat leg space: stable sort
     # keyed by the permutation (distinct keys -> payload f lands at row f).
-    if use_ksort:
-        _, pay_f = _ksort(order, (seg_in_j << 15) | seg_out_j)
-        seg_in_f, seg_out_f = pay_f >> 15, pay_f & ((1 << 15) - 1)
-    else:
-        _, seg_in_f, seg_out_f = jax.lax.sort(
-            (order, seg_in_j, seg_out_j), dimension=0, num_keys=1
-        )
+    _, seg_in_f, seg_out_f = jax.lax.sort(
+        (order, seg_in_j, seg_out_j), dimension=0, num_keys=1
+    )
     seg_in_k = seg_in_f.reshape(K, M, R)
     seg_out_k = seg_out_f.reshape(K, M, R)
     seg_in = jnp.where(valid_op, seg_in_k[0], S - 1)
@@ -411,15 +380,9 @@ def segment_graph(ops: OpString, model: BondModel) -> SegGraph:
 
         tail_seg = _seg_broadcast(tail, seg_out_j, reverse=True)
         kh_key = jnp.where(head, svar, _SORT_BIG)
-        if use_ksort:
-            kh, p1, d_order = _ksort(
-                kh_key, (seg_in_j << 15) | tail_seg, order
-            )
-            d_in, d_out = p1 >> 15, p1 & ((1 << 15) - 1)
-        else:
-            kh, d_in, d_out, d_order = jax.lax.sort(
-                (kh_key, seg_in_j, tail_seg, order), dimension=0, num_keys=1
-            )
+        kh, d_in, d_out, d_order = jax.lax.sort(
+            (kh_key, seg_in_j, tail_seg, order), dimension=0, num_keys=1
+        )
         vh = jnp.where(kh[:T] < _SORT_BIG, kh[:T], N)  # [T, R]
         # Dense-by-var placement without per-lane scatters: each var has at
         # most one real head row, so a _scatter_min_rows pass (identity rows
@@ -507,23 +470,11 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
     fits = (jnp.max(nseg) <= cdump) & (jnp.max(nedge) <= CE)
 
     def compact(_):
-        if _use_sort_kernel() and S <= _PACK_MAX:
-            # flag/u/v packed into one operand (u, v < S <= 2^14)
-            c = (
-                (~is_edge).astype(jnp.int32) * jnp.int32(1 << 30)
-                + (u << 15) + v
-            )
-            (cs,) = _ksort(c)
-            us = (cs[:CE] >> 15) & ((1 << 15) - 1)
-            vs = cs[:CE] & ((1 << 15) - 1)
-            uc = jnp.minimum(us, cdump)
-            vc = jnp.minimum(vs, cdump)
-        else:
-            _, us, vs = jax.lax.sort(
-                ((~is_edge).astype(jnp.int32), u, v), dimension=0, num_keys=1
-            )
-            uc = jnp.minimum(us[:CE], cdump)
-            vc = jnp.minimum(vs[:CE], cdump)
+        _, us, vs = jax.lax.sort(
+            ((~is_edge).astype(jnp.int32), u, v), dimension=0, num_keys=1
+        )
+        uc = jnp.minimum(us[:CE], cdump)
+        vc = jnp.minimum(vs[:CE], cdump)
         Wc = _hook_compress_labels(uc, vc, C)
         return consume(
             Wc, jnp.minimum(seg_in, cdump), jnp.minimum(seg_out, cdump), C
@@ -539,11 +490,9 @@ def _compact_dispatch(u, v, S: int, nseg, seg_in, seg_out, consume,
     return jax.lax.cond(fits, compact, full, None)
 
 
-def _scatter_min_rows(P, tgt, val, vals_lt_s: bool = False):
+def _scatter_min_rows(P, tgt, val):
     """``P.at[tgt, cols].min(val)`` for per-lane target rows, computed with
-    two multi-operand sorts instead of a scatter. ``vals_lt_s`` asserts the
-    values (and P entries) are label ids < S, enabling the packed
-    single-operand sort-kernel form.
+    two multi-operand sorts instead of a scatter.
 
     TPU scalarizes per-lane scatters (~75M elements/s, linear in the [E, R]
     grid AND in R); sorts run near memory rate and amortize over lanes. The
@@ -556,20 +505,6 @@ def _scatter_min_rows(P, tgt, val, vals_lt_s: bool = False):
     iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, R))
     keys = jnp.concatenate([tgt, iota_s], axis=0)
     vals = jnp.concatenate([val, P], axis=0)
-    if vals_lt_s and _use_sort_kernel() and S <= _PACK_MAX:
-        # Packed single-operand form (vals are labels < S <= 2^14; targets
-        # clamp to the out-of-range row S): ascending (tgt, val) order is
-        # exactly the 2-key sort, group heads hold the min, and the second
-        # sort packs heads to the front in target order. Bit-identical to
-        # the multi-operand path.
-        c = jnp.minimum(keys, S) * (1 << 15) + vals
-        (c1,) = _ksort(c)
-        grp = c1 >> 15
-        head = jnp.concatenate(
-            [jnp.ones((1, R), bool), grp[1:] != grp[:-1]], axis=0
-        )
-        (c2,) = _ksort(jnp.where(head, c1, jnp.int32(1 << 30)))
-        return c2[:S] & ((1 << 15) - 1)
     sk, sv = jax.lax.sort((keys, vals), dimension=0, num_keys=2)
     head = jnp.concatenate(
         [jnp.ones((1, R), bool), sk[1:] != sk[:-1]], axis=0
@@ -627,7 +562,7 @@ def _hook_compress_labels(u, v, S: int, n_compress: int | None = None):
         m = jnp.minimum(pu, pv)
         mx = jnp.maximum(pu, pv)
         if sort_scatter:
-            Pn = _scatter_min_rows(P, mx, m, vals_lt_s=True)
+            Pn = _scatter_min_rows(P, mx, m)
         else:
             Pn = P.at[mx, cols].min(m)
         for _ in range(n_compress):

@@ -73,8 +73,8 @@ run bench_warm 2700 python bench.py
 #    optimization targets), then the sort-kernel TPU decision data.
 run profile_cluster_r512 5400 python scripts/profile_cluster.py 32 512
 run tpu_kernel_tests 2400 env JAX_REAL_TPU=1 python -m pytest \
-  tests/test_tpu_kernels.py tests/test_sort_kernel.py -x -q
-run profile_sortk 2400 python scripts/profile_sortk.py 32 256
+  tests/test_tpu_kernels.py -x -q
+# profile_sortk: kernel measured 5-10x slower than lax.sort and DELETED (r5)
 run tune_hook_r512 3600 python scripts/tune_hook.py 32 512
 
 # 6. Reference suite JSONL (long tail; per-row appends survive crashes).
