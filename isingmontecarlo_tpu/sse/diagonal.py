@@ -39,6 +39,7 @@ from isingmontecarlo_tpu.sse.tables import bond_fetch_multi
 from isingmontecarlo_tpu.sse.tables import class_select as _class_select
 from isingmontecarlo_tpu.sse.tables import fetch_xor as _fetch_xor
 from isingmontecarlo_tpu.sse.tables import row_select
+from isingmontecarlo_tpu.sse.tables import searchsorted_left as _searchsorted_left
 
 
 class HeatBathTables(NamedTuple):
@@ -202,9 +203,11 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
                 lambda c, q: jnp.searchsorted(c, q), in_axes=(0, 1), out_axes=1
             )(hb.cum_max_w, tgt).astype(jnp.int32)
         else:
-            b_new = jnp.searchsorted(hb.cum_max_w, u1 * hb.total).astype(
-                jnp.int32
-            )
+            # Two-level compare-count + boundary-row gather: bit-identical
+            # to searchsorted but avoids its ~log2(NB) rounds of per-lane
+            # gathers, which scalarize on TPU and made heat-bath sweeps ~3x
+            # their Metropolis twins (tables.searchsorted_left).
+            b_new = _searchsorted_left(hb.cum_max_w, u1 * hb.total)
         b_new = jnp.minimum(b_new, NB - 1)
     else:
         b_new = jnp.minimum((u1 * NB).astype(jnp.int32), NB - 1)

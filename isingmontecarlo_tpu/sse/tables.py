@@ -141,6 +141,42 @@ def row_select(table: jnp.ndarray, row_idx: jnp.ndarray, col_idx: jnp.ndarray):
     return out
 
 
+# Chunk width for the two-level searchsorted; the boundary-chunk row gather
+# is the fast whole-row kind (CLAUDE.md gather asymmetry), so G trades a
+# wider compare-sum against fewer coarse chunks. 32 keeps both level sizes
+# <= 128 lanes for every reference table (NB <= 4096).
+_SS_GROUP = 32
+
+
+def searchsorted_left(table: jnp.ndarray, q: jnp.ndarray,
+                      on_tpu: bool | None = None) -> jnp.ndarray:
+    """``jnp.searchsorted(table, q, side='left')`` for a sorted f32 table
+    ``[NB]`` and a per-lane query grid ``q[M, R]``, without the binary
+    search whose ~log2(NB) rounds of per-lane gathers scalarize on TPU
+    (measured: the heat-bath suite rows ran ~3x their Metropolis twins and
+    the whole gap was this lookup; ``heatbath.rs:148-209`` is the reference
+    sampler being replaced). Two exact levels: (1) count chunks entirely
+    below ``q`` by compare-summing the C chunk maxima, (2) row-gather the
+    single boundary chunk (fast whole-row gather) and count within it.
+    Every comparison is against original f32 entries, so the result is
+    bit-identical to ``searchsorted``'s count of ``table < q``."""
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    NB = table.shape[0]
+    G = _SS_GROUP
+    if not on_tpu or NB <= 2 * G:
+        return jnp.searchsorted(table, q).astype(jnp.int32)
+    C = -(-NB // G)
+    tbl = jnp.pad(
+        table, (0, C * G - NB), constant_values=jnp.inf
+    ).reshape(C, G)
+    qx = q[..., None]
+    coarse = jnp.sum((tbl[:, -1] < qx).astype(jnp.int32), axis=-1)
+    b_g = jnp.minimum(coarse, C - 1)
+    fine = jnp.sum((tbl[b_g] < qx).astype(jnp.int32), axis=-1)
+    return b_g * G + fine
+
+
 def row_select3(table: jnp.ndarray, b_idx, i_idx, j_idx):
     """``table[b, i, j]`` for a [T, C, C] table (e.g. ``full_w``) via the
     flattened-column :func:`row_select`."""

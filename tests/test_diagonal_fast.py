@@ -241,3 +241,69 @@ def test_parity_kernel_matches_packed(heatbath, replicas, N_odd, monkeypatch):
     assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
     assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
     assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
+
+
+def test_searchsorted_left_bit_equivalence():
+    """tables.searchsorted_left (the TPU two-level compare-count used by the
+    heat-bath proposal sampler) must be bit-identical to jnp.searchsorted
+    side='left' — duplicates, exact hits, out-of-range, and non-multiple-
+    of-chunk table lengths included."""
+    from isingmontecarlo_tpu.sse import tables as _tables
+
+    rng = np.random.default_rng(11)
+    for NB in (65, 128, 200, 1024, 2048, 2049):
+        raw = rng.gamma(1.0, 1.0, NB).astype(np.float32)
+        raw[rng.uniform(size=NB) < 0.1] = 0.0  # duplicates in the cumsum
+        base = raw.cumsum()
+        tbl = jnp.asarray(base.astype(np.float32))
+        # Queries: uniform in range, exact table entries, below-min, above-max.
+        q = np.concatenate([
+            rng.uniform(0, float(base[-1]) * 1.05, (37, 8)).astype(np.float32),
+            base[rng.integers(0, NB, (5, 8))].astype(np.float32),
+            np.full((1, 8), -1.0, np.float32),
+            np.full((1, 8), float(base[-1]) * 2, np.float32),
+        ])
+        qj = jnp.asarray(q)
+        want = np.asarray(jnp.searchsorted(tbl, qj)).astype(np.int64)
+        got = np.asarray(_tables.searchsorted_left(tbl, qj, on_tpu=True))
+        assert np.array_equal(got, want), NB
+
+
+def test_heatbath_fast_path_unaffected_by_searchsorted_route(monkeypatch):
+    """The heat-bath fast path must produce the identical op string whether
+    the proposal bonds come from jnp.searchsorted (CPU route) or the
+    two-level compare-count (TPU route), at a table size that exercises the
+    two-level branch."""
+    from isingmontecarlo_tpu.sse import tables as _tables
+
+    g = QmcIsingGraph(
+        lattice.bench_two_d_periodic(6), transverse=0.8, replicas=4, seed=3
+    )
+    g.sse, _, _, _ = multi_sweep(g.sse, jnp.float32(1.2), g.model, 8)
+    g._maybe_grow()
+    ops, state, model = g.sse.ops, g.sse.state, g.model
+    hbt = _diag.make_heatbath_tables(model)
+    key = jax.random.key(5)
+    kw = dict(hb=hbt, heatbath=True)
+    a = _diag._diagonal_update_fast(
+        ops, state, jnp.float32(1.2), key, model, **kw
+    )
+    real = _tables.searchsorted_left
+    monkeypatch.setattr(
+        _tables, "searchsorted_left",
+        lambda t, q, on_tpu=None: real(t, q, on_tpu=True),
+    )
+    monkeypatch.setattr(
+        _diag, "_searchsorted_left",
+        lambda t, q, on_tpu=None: real(t, q, on_tpu=True),
+    )
+    _diag._diagonal_update_fast.clear_cache()
+    try:
+        b = _diag._diagonal_update_fast(
+            ops, state, jnp.float32(1.2), key, model, **kw
+        )
+    finally:
+        _diag._diagonal_update_fast.clear_cache()
+    assert np.array_equal(np.asarray(a.bond), np.asarray(b.bond))
+    assert np.array_equal(np.asarray(a.inputs), np.asarray(b.inputs))
+    assert np.array_equal(np.asarray(a.outputs), np.asarray(b.outputs))
