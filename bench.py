@@ -470,9 +470,12 @@ def bench_suite(json_path: str | None = None) -> None:
             f"two_d_rvb_cold_{L} (beta=100)", lattice.bench_two_d_periodic(L),
             100.0, R_rvb, rvb=(n + 1) // 2, warm=warm,
         )
+    # R=2 crashed the tunnel's TPU worker twice ("kernel fault") — the only
+    # suite row ever run at a degenerate 2-lane replica count; R=4 keeps
+    # [cutoff, R] at ~272k elements, under the cold_8 shape that compiles.
     safe(
         "two_d_rvb_32 (beta=10)", lattice.bench_two_d_periodic(32),
-        10.0, 2, rvb=(32 * 32 + 1) // 2, warm=2,
+        10.0, 4, rvb=(32 * 32 + 1) // 2, warm=2,
     )
 
 
