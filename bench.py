@@ -299,7 +299,7 @@ def bench_suite(json_path: str | None = None) -> None:
         "two_d_rvb_cold_8": 43000,
     }
 
-    def retry(fn, *a, tries=3, **k):
+    def retry(fn, *a, tries=4, **k):
         # Big-program compile responses through the remote-compile tunnel
         # get cut mid-stream; the terminal caches the finished compile, so
         # an immediate retry usually lands it (MEASUREMENTS_r5.md).
@@ -309,9 +309,14 @@ def bench_suite(json_path: str | None = None) -> None:
             except jax.errors.JaxRuntimeError:
                 if attempt == tries - 1:
                     raise
-                print(f"  (dispatch failed; retry {attempt + 1})",
+                # Escalating backoff: after a tunnel WORKER crash (vs a cut
+                # compile response) the worker needs minutes to restart —
+                # 15 s retries all land on the still-down worker and the
+                # row is lost (two_d_rvb_32, MEASUREMENTS_r5.md).
+                wait = (15, 120, 300)[min(attempt, 2)]
+                print(f"  (dispatch failed; retry {attempt + 1} in {wait}s)",
                       file=sys.stderr)
-                time.sleep(15)
+                time.sleep(wait)
 
     def measure(name, edges, beta, replicas, heatbath=False, rvb=0, warm=8):
         g = QmcIsingGraph(

@@ -199,9 +199,7 @@ def _parallel_weights(ops, state, u1, model, hb, heatbath, max_elems=None,
     if heatbath:
         if hb.cum_max_w.ndim == 2:  # [R, NB]
             tgt = u1 * hb.total[None, :]  # [M, R]
-            b_new = jax.vmap(
-                lambda c, q: jnp.searchsorted(c, q), in_axes=(0, 1), out_axes=1
-            )(hb.cum_max_w, tgt).astype(jnp.int32)
+            b_new = _searchsorted_left(hb.cum_max_w, tgt)
         else:
             # Two-level compare-count + boundary-row gather: bit-identical
             # to searchsorted but avoids its ~log2(NB) rounds of per-lane

@@ -151,8 +151,10 @@ _SS_GROUP = 32
 def searchsorted_left(table: jnp.ndarray, q: jnp.ndarray,
                       on_tpu: bool | None = None) -> jnp.ndarray:
     """``jnp.searchsorted(table, q, side='left')`` for a sorted f32 table
-    ``[NB]`` and a per-lane query grid ``q[M, R]``, without the binary
-    search whose ~log2(NB) rounds of per-lane gathers scalarize on TPU
+    ``[NB]`` (or per-replica ``[R, NB]``, searched per replica against
+    ``q[M, R]``'s columns) and a per-lane query grid ``q[M, R]``, without
+    the binary search whose ~log2(NB) rounds of per-lane gathers scalarize
+    on TPU
     (measured: the heat-bath suite rows ran ~3x their Metropolis twins and
     the whole gap was this lookup; ``heatbath.rs:148-209`` is the reference
     sampler being replaced). Two exact levels: (1) count chunks entirely
@@ -162,10 +164,25 @@ def searchsorted_left(table: jnp.ndarray, q: jnp.ndarray,
     bit-identical to ``searchsorted``'s count of ``table < q``."""
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
-    NB = table.shape[0]
+    NB = table.shape[-1]
     G = _SS_GROUP
     if not on_tpu or NB <= 2 * G:
+        if table.ndim == 2:  # per-replica [R, NB], q[M, R]
+            return jax.vmap(
+                lambda t, qq: jnp.searchsorted(t, qq), in_axes=(0, 1),
+                out_axes=1,
+            )(table, q).astype(jnp.int32)
         return jnp.searchsorted(table, q).astype(jnp.int32)
+    if table.ndim == 2:
+        # Per-replica tables [R, NB] (heterogeneous tempering ladders):
+        # a direct fused compare-count over the table axis — exact, no
+        # gathers, and elementwise-parallel; this path is never on the
+        # single-model benchmark surface, so simplicity wins over the
+        # two-level trick (whose boundary-row fetch would need a batched
+        # per-lane gather here).
+        return jnp.sum(
+            (table[None, :, :] < q[:, :, None]).astype(jnp.int32), axis=-1
+        )
     C = -(-NB // G)
     tbl = jnp.pad(
         table, (0, C * G - NB), constant_values=jnp.inf

@@ -267,6 +267,20 @@ def test_searchsorted_left_bit_equivalence():
         want = np.asarray(jnp.searchsorted(tbl, qj)).astype(np.int64)
         got = np.asarray(_tables.searchsorted_left(tbl, qj, on_tpu=True))
         assert np.array_equal(got, want), NB
+        # Per-replica [R, NB] form: each replica searched against its own
+        # table (here shifted copies) and q's matching column.
+        R = qj.shape[1]
+        shift = rng.uniform(0, 1, (R, 1)).astype(np.float32)
+        tblR = jnp.asarray(base[None, :] + shift)
+        wantR = np.stack(
+            [
+                np.asarray(jnp.searchsorted(tblR[r], qj[:, r]))
+                for r in range(R)
+            ],
+            axis=1,
+        )
+        gotR = np.asarray(_tables.searchsorted_left(tblR, qj, on_tpu=True))
+        assert np.array_equal(gotR, wantR), NB
 
 
 def test_heatbath_fast_path_unaffected_by_searchsorted_route(monkeypatch):
